@@ -1,0 +1,283 @@
+"""Site basis sets over discrete site spaces.
+
+A site basis is an array ``[n_functions, n_species]`` whose rows evaluate the
+site functions at each allowed species (by encoding order).  Function 0 is
+always the constant function 1.  Mirrors the reference's basis module
+(smol/cofe/space/basis.py): flavors indicator, sinusoid (van de Walle 2009),
+polynomial, chebyshev, legendre; measure-weighted Gram-Schmidt (QR)
+orthonormalization; basis rotations.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+from numpy.polynomial.chebyshev import chebval
+from numpy.polynomial.legendre import legval
+from numpy.polynomial.polynomial import polyval
+
+from smol_tpu.cofe.space.domain import SiteSpace
+from smol_tpu.serial import MSONable, process_decoded
+
+__all__ = [
+    "StandardBasis",
+    "IndicatorBasis",
+    "basis_factory",
+    "available_site_basis_sets",
+]
+
+EPS = 10 * np.finfo(np.float64).eps
+
+BASIS_FLAVORS = ("indicator", "sinusoid", "polynomial", "chebyshev", "legendre")
+
+
+def _raw_function_array(flavor: str, n: int) -> np.ndarray:
+    """Build the raw (pre-orthonormalization) function array for n species.
+
+    Returns [n, n] float64: row 0 constant 1, rows 1..n-1 the non-constant
+    functions evaluated at integer species codes 0..n-1.
+    """
+    codes = np.arange(n, dtype=np.float64)
+    rows = [np.ones(n)]
+    if flavor == "indicator":
+        # indicator of species j for j = 0..n-2 (last replaced by constant,
+        # matching reference StandardBasis._construct_function_array)
+        for j in range(n - 1):
+            rows.append((codes == j).astype(np.float64))
+    elif flavor == "sinusoid":
+        # van de Walle: function k (1-indexed) with a = ceil(k/2):
+        # even k -> -sin(2 pi a s / n), odd k -> -cos(2 pi a s / n)
+        for k in range(1, n):
+            a = -(-k // 2)
+            arg = 2 * np.pi * a * codes / n
+            rows.append(-np.sin(arg) if k % 2 == 0 else -np.cos(arg))
+    elif flavor in ("polynomial", "chebyshev", "legendre"):
+        enc = np.linspace(-1, 1, n)
+        val = {"polynomial": polyval, "chebyshev": chebval, "legendre": legval}[flavor]
+        for k in range(1, n):
+            coefs = np.zeros(k + 1)
+            coefs[k] = 1.0
+            rows.append(val(enc, coefs))
+    else:
+        raise ValueError(
+            f"Unknown basis flavor {flavor!r}; options are {BASIS_FLAVORS}."
+        )
+    return np.array(rows, dtype=np.float64)
+
+
+class StandardBasis(MSONable):
+    """A site basis: function array over a site space.
+
+    The stored array ``_f_array`` has shape [n_species, n_species]; row 0 is
+    the constant function.  ``function_array`` exposes the non-constant rows,
+    as in the reference (basis.py:219-222).
+    """
+
+    def __init__(self, site_space: SiteSpace, flavor: str = "sinusoid", f_array=None):
+        self.flavor = flavor
+        self._domain = site_space
+        n = len(site_space)
+        self._f_array = (
+            np.array(f_array, dtype=np.float64)
+            if f_array is not None
+            else _raw_function_array(flavor, n)
+        )
+        self._r_array = None  # R from QR orthonormalization
+        self._rot_array = np.eye(n, dtype=np.float64)
+
+    @property
+    def site_space(self) -> SiteSpace:
+        return self._domain
+
+    @property
+    def species(self) -> list:
+        return list(self._domain.keys())
+
+    @property
+    def function_array(self) -> np.ndarray:
+        """Non-constant site functions as rows: [n_species - 1, n_species]."""
+        return self._f_array[1:]
+
+    @property
+    def full_function_array(self) -> np.ndarray:
+        """All functions including the constant row 0."""
+        return self._f_array
+
+    @property
+    def measure_vector(self) -> np.ndarray:
+        return np.array(list(self._domain.values()), dtype=np.float64)
+
+    @property
+    def orthonormalization_array(self):
+        return self._r_array
+
+    @property
+    def rotation_array(self) -> np.ndarray:
+        return self._rot_array
+
+    @property
+    def is_orthogonal(self) -> bool:
+        prods = (self.measure_vector * self._f_array) @ self._f_array.T
+        prods = prods / np.diag(prods)
+        return np.allclose(prods, np.eye(len(prods)))
+
+    @property
+    def is_orthonormal(self) -> bool:
+        prods = (self.measure_vector * self._f_array) @ self._f_array.T
+        return np.allclose(prods, np.eye(len(prods)))
+
+    def orthonormalize(self):
+        """Measure-weighted QR orthonormalization keeping row 0 constant.
+
+        Mirrors reference basis.py:234-258.
+        """
+        q_mat, r_mat = np.linalg.qr(
+            (np.sqrt(self.measure_vector) * self._f_array).T, mode="complete"
+        )
+        r_mat[np.abs(r_mat) < EPS] = 0.0
+        q_mat[np.abs(q_mat) < EPS] = 0.0
+        self._r_array = (q_mat[:, 0] / np.sqrt(self.measure_vector) * r_mat.T).astype(
+            np.float64
+        )
+        self._f_array = (q_mat.T / q_mat[:, 0]).astype(np.float64)
+
+    def rotate(self, angle: float, index1: int = 0, index2: int = 1):
+        """Rotate two non-constant basis functions within their span.
+
+        For binary spaces this flips the sign of the single function
+        (reference basis.py:260-338).
+        """
+        if not np.allclose(self.measure_vector, self.measure_vector[0]):
+            warnings.warn(
+                "Non-uniform measure: rotations are not adapted; consider "
+                "re-orthonormalizing afterwards.",
+                UserWarning,
+            )
+        elif not self.is_orthogonal:
+            raise RuntimeError("Non-orthogonal site basis rotations are not allowed!")
+
+        n = len(self._domain)
+        if n == 2:
+            self._f_array[1] *= -1
+            rotation = -1 * self._rot_array
+        else:
+            if index1 == index2:
+                raise ValueError("Basis function indices cannot be the same!")
+            for idx in (index1, index2):
+                if abs(idx) > n - 2:
+                    raise ValueError(
+                        f"Basis index {idx} out of bounds for {n - 1} functions!"
+                    )
+            v1 = self.function_array[index1] / np.linalg.norm(self.function_array[index1])
+            v2 = self.function_array[index2] / np.linalg.norm(self.function_array[index2])
+            rotation = (
+                np.eye(len(v1))
+                + (np.outer(v1, v2) - np.outer(v2, v1)) * np.sin(angle)
+                + (np.outer(v1, v1) + np.outer(v2, v2)) * (np.cos(angle) - 1)
+            )
+            self._f_array[1:] = self._f_array[1:] @ rotation.T
+            self._f_array[np.abs(self._f_array) < EPS] = 0.0
+        self._rot_array = rotation @ self._rot_array
+
+    def __eq__(self, other):
+        if not isinstance(other, StandardBasis):
+            return False
+        return (
+            self._domain == other._domain
+            and self.flavor == other.flavor
+            and np.allclose(self._f_array, other._f_array)
+        )
+
+    def __repr__(self):
+        return f"StandardBasis({self.flavor}, {self._domain})"
+
+    def as_dict(self) -> dict:
+        return {
+            "@module": type(self).__module__,
+            "@class": type(self).__name__,
+            "site_space": self._domain.as_dict(),
+            "flavor": self.flavor,
+            "func_array": self._f_array.tolist(),
+            "orthonorm_array": None if self._r_array is None else self._r_array.tolist(),
+            "rot_array": self._rot_array.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        basis = cls(
+            process_decoded(d["site_space"]), d["flavor"], f_array=d["func_array"]
+        )
+        if d.get("orthonorm_array") is not None:
+            basis._r_array = np.array(d["orthonorm_array"], dtype=np.float64)
+        if d.get("rot_array") is not None:
+            basis._rot_array = np.array(d["rot_array"], dtype=np.float64)
+        return basis
+
+
+class IndicatorBasis(MSONable):
+    """Full (over-complete) indicator basis used by PottsSubspace.
+
+    One indicator function per species, no constant function
+    (reference basis.py:376-416).
+    """
+
+    def __init__(self, site_space: SiteSpace):
+        self.flavor = "indicator"
+        self._domain = site_space
+        n = len(site_space)
+        self._f_array = np.eye(n, dtype=np.float64)
+
+    @property
+    def site_space(self):
+        return self._domain
+
+    @property
+    def species(self):
+        return list(self._domain.keys())
+
+    @property
+    def function_array(self) -> np.ndarray:
+        return self._f_array
+
+    @property
+    def full_function_array(self) -> np.ndarray:
+        """Indicator basis has no implicit constant; all rows are functions."""
+        return self._f_array
+
+    @property
+    def measure_vector(self) -> np.ndarray:
+        return np.array(list(self._domain.values()), dtype=np.float64)
+
+    @property
+    def is_orthogonal(self) -> bool:
+        return True
+
+    @property
+    def is_orthonormal(self) -> bool:
+        prods = (self.measure_vector * self._f_array) @ self._f_array.T
+        return np.allclose(prods, np.eye(len(prods)))
+
+    def __eq__(self, other):
+        return isinstance(other, IndicatorBasis) and self._domain == other._domain
+
+    def as_dict(self) -> dict:
+        return {
+            "@module": type(self).__module__,
+            "@class": type(self).__name__,
+            "site_space": self._domain.as_dict(),
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(process_decoded(d["site_space"]))
+
+
+def basis_factory(basis_name: str, site_space: SiteSpace) -> StandardBasis:
+    """Create a StandardBasis of the given flavor over a site space."""
+    return StandardBasis(site_space, basis_name)
+
+
+def available_site_basis_sets() -> tuple:
+    """Names of available site basis flavors."""
+    return BASIS_FLAVORS

@@ -218,7 +218,8 @@ class Structure(MSONable):
             s._index = i
         return self
 
-    def get_sites_in_sphere(self, center, radius, include_index=True):
+    def get_sites_in_sphere(self, center, radius, include_index=True):  # noqa: ARG002
+        # include_index kept for API parity; indices are always attached.
         """All periodic site images within ``radius`` of Cartesian ``center``.
 
         Returns PeriodicSite objects whose ``frac_coords`` are the unwrapped

@@ -1,0 +1,158 @@
+"""Reference numpy evaluator for correlation/interaction vectors.
+
+Host-side, vectorized-numpy equivalents of the reference's native kernels
+(smol/utils/cluster/evaluator.pyx and correlations.pyx).  These serve two
+purposes: (1) cheap single-structure evaluations on host (e.g. wrangling),
+and (2) the ground truth for parity tests of the device (JAX/Pallas)
+kernels at float64.
+
+Orbit data is the tuple-per-orbit layout of the reference
+(smol/utils/cluster/__init__.py:4): ``(orbit_id, bit_id,
+flat_correlation_tensors [K, N], flat_tensor_indices [I])`` plus per-orbit
+cluster site index arrays ``[J, I]`` (int32) for a given supercell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_orbit_data(orbits) -> tuple:
+    """Pack orbits into the flat-tensor tuples the evaluators consume."""
+    return tuple(
+        (
+            orbit.id,
+            orbit.bit_id,
+            orbit.flat_correlation_tensors,
+            orbit.flat_tensor_indices,
+        )
+        for orbit in orbits
+    )
+
+
+def corr_from_occupancy(occu, orbit_data, cluster_indices, num_corr) -> np.ndarray:
+    """Correlation vector for one encoded occupancy (evaluator.pyx:121)."""
+    occu = np.asarray(occu, dtype=np.int32)
+    out = np.zeros(num_corr, dtype=np.float64)
+    out[0] = 1.0
+    for (oid, bit_id, tensors, strides), inds in zip(orbit_data, cluster_indices):
+        tidx = occu[inds] @ strides  # [J]
+        for k in range(tensors.shape[0]):
+            out[bit_id + k] = tensors[k, tidx].mean()
+    return out
+
+
+def interactions_from_occupancy(
+    occu, orbit_data, interaction_tensors, offset, cluster_indices, num_orbits
+) -> np.ndarray:
+    """Cluster interaction vector (evaluator.pyx:170).
+
+    interaction_tensors: per-orbit flat f64 arrays (length prod(sizes)).
+    """
+    occu = np.asarray(occu, dtype=np.int32)
+    out = np.zeros(num_orbits, dtype=np.float64)
+    out[0] = offset
+    for (oid, _, _, strides), inter, inds in zip(
+        orbit_data, interaction_tensors, cluster_indices
+    ):
+        tidx = occu[inds] @ strides
+        out[oid] = inter[tidx].mean()
+    return out
+
+
+def delta_corr_from_occupancies(
+    occu_f, occu_i, cluster_ratio, orbit_data, cluster_indices, num_corr
+) -> np.ndarray:
+    """Correlation difference for site-local cluster sets (evaluator.pyx:211).
+
+    cluster_ratio[n] = total clusters of orbit n / local clusters containing
+    the flipped site; the delta is divided by ratio * J_local = J_total.
+    """
+    occu_f = np.asarray(occu_f, dtype=np.int32)
+    occu_i = np.asarray(occu_i, dtype=np.int32)
+    out = np.zeros(num_corr, dtype=np.float64)
+    for n, ((oid, bit_id, tensors, strides), inds) in enumerate(
+        zip(orbit_data, cluster_indices)
+    ):
+        tidx_f = occu_f[inds] @ strides
+        tidx_i = occu_i[inds] @ strides
+        denom = cluster_ratio[n] * len(inds)
+        for k in range(tensors.shape[0]):
+            out[bit_id + k] = (tensors[k, tidx_f] - tensors[k, tidx_i]).sum() / denom
+    return out
+
+
+def delta_interactions_from_occupancies(
+    occu_f, occu_i, cluster_ratio, orbit_data, interaction_tensors,
+    cluster_indices, num_orbits,
+) -> np.ndarray:
+    """Cluster interaction difference (evaluator.pyx:267)."""
+    occu_f = np.asarray(occu_f, dtype=np.int32)
+    occu_i = np.asarray(occu_i, dtype=np.int32)
+    out = np.zeros(num_orbits, dtype=np.float64)
+    for n, ((oid, _, _, strides), inter, inds) in enumerate(
+        zip(orbit_data, interaction_tensors, cluster_indices)
+    ):
+        tidx_f = occu_f[inds] @ strides
+        tidx_i = occu_i[inds] @ strides
+        out[oid] = (inter[tidx_f] - inter[tidx_i]).sum() / (
+            cluster_ratio[n] * len(inds)
+        )
+    return out
+
+
+def corr_distances_from_occupancies(
+    occu_f, occu_i, ref_corr, orbit_data, cluster_indices, num_corr
+) -> np.ndarray:
+    """|corr - ref| for two occupancies differing by a flip (evaluator.pyx:319)."""
+    out = np.zeros((2, num_corr), dtype=np.float64)
+    corr_i = corr_from_occupancy(occu_i, orbit_data, cluster_indices, num_corr)
+    corr_f = corr_from_occupancy(occu_f, orbit_data, cluster_indices, num_corr)
+    out[0] = np.abs(corr_i - ref_corr)
+    out[1] = np.abs(corr_f - ref_corr)
+    out[:, 0] = 0.0
+    return out
+
+
+def interaction_distances_from_occupancies(
+    occu_f, occu_i, ref_inter, orbit_data, interaction_tensors, offset,
+    cluster_indices, num_orbits,
+) -> np.ndarray:
+    """|interactions - ref| analog of the above (evaluator.pyx:381)."""
+    out = np.zeros((2, num_orbits), dtype=np.float64)
+    int_i = interactions_from_occupancy(
+        occu_i, orbit_data, interaction_tensors, offset, cluster_indices, num_orbits
+    )
+    int_f = interactions_from_occupancy(
+        occu_f, orbit_data, interaction_tensors, offset, cluster_indices, num_orbits
+    )
+    out[0] = np.abs(int_i - ref_inter)
+    out[1] = np.abs(int_f - ref_inter)
+    out[:, 0] = 0.0
+    return out
+
+
+def delta_ewald_single_flip(occu_f, occu_i, ewald_matrix, ewald_indices, site_ind):
+    """O(n) Ewald energy difference for one site flip (ewald.pyx:9).
+
+    ewald_indices[site, code] is the Ewald-matrix row of (site, species), or
+    -1 for vacancies.
+    """
+    occu_f = np.asarray(occu_f, dtype=np.int32)
+    occu_i = np.asarray(occu_i, dtype=np.int32)
+    rows_i = ewald_indices[np.arange(len(occu_i)), occu_i]
+    add = ewald_indices[site_ind, occu_f[site_ind]]
+    rem = ewald_indices[site_ind, occu_i[site_ind]]
+    occ_mask = rows_i >= 0
+    b_rows = rows_i[occ_mask]
+    out = 0.0
+    if add >= 0:
+        out += ewald_matrix[add, add]
+        out += 2 * ewald_matrix[add, b_rows].sum()
+        if rem >= 0:
+            out -= 2 * ewald_matrix[add, rem]
+    if rem >= 0:
+        out -= ewald_matrix[rem, rem]
+        out -= 2 * ewald_matrix[rem, b_rows].sum()
+        out += 2 * ewald_matrix[rem, rem]  # rem included in b_rows above
+    return out
