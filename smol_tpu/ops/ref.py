@@ -143,16 +143,17 @@ def delta_ewald_single_flip(occu_f, occu_i, ewald_matrix, ewald_indices, site_in
     rows_i = ewald_indices[np.arange(len(occu_i)), occu_i]
     add = ewald_indices[site_ind, occu_f[site_ind]]
     rem = ewald_indices[site_ind, occu_i[site_ind]]
-    occ_mask = rows_i >= 0
-    b_rows = rows_i[occ_mask]
+    # common rows: occupied rows of all OTHER sites.  The removed row must be
+    # excluded from the dots — co-located rows of one site have near-singular
+    # matrix entries that real kernels never touch (see ewald.pyx:43-58).
+    other = np.arange(len(occu_i)) != site_ind
+    b_rows = rows_i[other]
+    b_rows = b_rows[b_rows >= 0]
     out = 0.0
     if add >= 0:
         out += ewald_matrix[add, add]
         out += 2 * ewald_matrix[add, b_rows].sum()
-        if rem >= 0:
-            out -= 2 * ewald_matrix[add, rem]
     if rem >= 0:
         out -= ewald_matrix[rem, rem]
         out -= 2 * ewald_matrix[rem, b_rows].sum()
-        out += 2 * ewald_matrix[rem, rem]  # rem included in b_rows above
     return out
