@@ -1,0 +1,25 @@
+"""Monte Carlo layer: processors, ensembles, kernels, samplers."""
+
+from smol_tpu.moca.ensemble import Ensemble
+from smol_tpu.moca.processor.base import Processor
+from smol_tpu.moca.processor.composite import CompositeProcessor
+from smol_tpu.moca.processor.ewald import EwaldProcessor
+from smol_tpu.moca.processor.expansion import (
+    ClusterDecompositionProcessor,
+    ClusterExpansionProcessor,
+)
+from smol_tpu.moca.sampler.container import SampleContainer
+from smol_tpu.moca.sampler.sampler import Sampler
+from smol_tpu.moca.sublattice import Sublattice
+
+__all__ = [
+    "Processor",
+    "ClusterExpansionProcessor",
+    "ClusterDecompositionProcessor",
+    "EwaldProcessor",
+    "CompositeProcessor",
+    "Ensemble",
+    "Sublattice",
+    "Sampler",
+    "SampleContainer",
+]

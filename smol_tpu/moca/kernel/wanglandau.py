@@ -1,0 +1,207 @@
+"""Wang-Landau kernel: multicanonical density-of-states estimation.
+
+Mirrors the reference (smol/moca/kernel/wanglandau.py): entropy/histogram
+over enthalpy bins, acceptance on entropy differences, per-bin cumulative
+mean features, flatness-triggered modification-factor reduction.  On device
+every walker carries an independent window state (vmapped), so a replica
+ensemble explores the DOS in parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from smol_tpu.moca.kernel.base import ALL_MCUSHERS, MCKernel
+from smol_tpu.ops import mc as devmc
+
+__all__ = ["WangLandau"]
+
+
+class WangLandau(MCKernel):
+    """Wang-Landau sampling kernel."""
+
+    valid_mcushers = ALL_MCUSHERS
+    valid_bias = None
+    track_features = True
+
+    def __init__(
+        self,
+        ensemble,
+        step_type,
+        min_enthalpy,
+        max_enthalpy,
+        bin_size,
+        *args,
+        flatness=0.8,
+        mod_factor=1.0,
+        check_period=1000,
+        update_period=1,
+        mod_update=None,
+        seed=None,
+        **kwargs,
+    ):
+        if min_enthalpy > max_enthalpy:
+            raise ValueError("min_enthalpy cannot be larger than max_enthalpy.")
+        if (max_enthalpy - min_enthalpy) / bin_size <= 1:
+            raise ValueError("Window and bin size give a single bin!")
+        if mod_factor <= 0:
+            raise ValueError("mod_factor must be greater than 0.")
+
+        self.flatness = flatness
+        self.check_period = check_period
+        self.update_period = update_period
+        self._m = mod_factor
+        self._window = (min_enthalpy, max_enthalpy, bin_size)
+        self._mod_divisor = float(mod_update) if mod_update is not None else 2.0
+        self._levels = np.arange(min_enthalpy, max_enthalpy, bin_size)
+
+        # host single-walker aux state
+        self._current_enthalpy = np.inf
+        self._current_features = None
+        self._entropy = np.zeros(len(self._levels))
+        self._histogram = np.zeros(len(self._levels), dtype=int)
+        self._occurrences = np.zeros(len(self._levels), dtype=int)
+        self._mean_features = None
+        self._steps_counter = 0
+
+        super().__init__(ensemble, step_type, *args, seed=seed, **kwargs)
+        self._current_features = np.zeros(len(self.natural_params))
+        self._mean_features = np.zeros(
+            (len(self._levels), len(self.natural_params))
+        )
+
+        self.spec.min_enthalpy = min_enthalpy
+        self.spec.max_enthalpy = max_enthalpy
+        self.spec.bin_size = bin_size
+        self.spec.flatness = flatness
+        self.spec.check_period = check_period
+        self.spec.update_period = update_period
+
+    # ---------------- host properties ----------------
+
+    @property
+    def bin_size(self):
+        return self._window[2]
+
+    @property
+    def levels(self):
+        return self._levels[self._entropy > 0]
+
+    @property
+    def entropy(self):
+        return self._entropy[self._entropy > 0]
+
+    @property
+    def dos(self):
+        return np.exp(self.entropy - self.entropy.min())
+
+    @property
+    def histogram(self):
+        return self._histogram[self._entropy > 0]
+
+    @property
+    def mod_factor(self):
+        return self._m
+
+    def _get_bin_id(self, e):
+        if e == np.inf:
+            return np.inf
+        return int((e - self._window[0]) // self._window[2])
+
+    # ---------------- host single-walker path ----------------
+
+    def _accept_step(self, occupancy, step):
+        from math import log
+
+        bin_id = self._get_bin_id(self._current_enthalpy)
+        new_enthalpy = self._current_enthalpy + float(
+            self.trace.delta_trace.enthalpy
+        )
+        if new_enthalpy < self._window[0] or new_enthalpy >= self._window[1]:
+            self.trace.accepted = np.array(False)
+        else:
+            new_bin = self._get_bin_id(new_enthalpy)
+            log_factor = self.mcusher.compute_log_priori_factor(occupancy, step)
+            exponent = self._entropy[bin_id] - self._entropy[new_bin] + log_factor
+            self.trace.accepted = np.array(
+                True if exponent >= 0 else exponent > log(self._rng.random())
+            )
+        return self.trace.accepted
+
+    def _do_accept_step(self, occupancy, step):
+        occupancy = super()._do_accept_step(occupancy, step)
+        self._current_features = self._current_features + np.asarray(
+            self.trace.delta_trace.features
+        )
+        self._current_enthalpy += float(self.trace.delta_trace.enthalpy)
+        return occupancy
+
+    def _do_post_step(self):
+        bin_id = self._get_bin_id(self._current_enthalpy)
+        if 0 <= bin_id < len(self._levels):
+            self._steps_counter += 1
+            total = self._occurrences[bin_id]
+            self._mean_features[bin_id] = (
+                self._current_features + total * self._mean_features[bin_id]
+            ) / (total + 1)
+            if self._steps_counter % self.update_period == 0:
+                self._entropy[bin_id] += self._m
+                self._histogram[bin_id] += 1
+                self._occurrences[bin_id] += 1
+        self.trace.histogram = self._histogram
+        self.trace.occurrences = self._occurrences
+        self.trace.entropy = self._entropy
+        self.trace.cumulative_mean_features = self._mean_features
+        self.trace.mod_factor = np.array([self._m])
+        if self._steps_counter and self._steps_counter % self.check_period == 0:
+            histogram = self._histogram[self._entropy > 0]
+            if len(histogram) >= 2 and (
+                histogram > self.flatness * histogram.mean()
+            ).all():
+                self._histogram[:] = 0
+                self._m /= self._mod_divisor
+
+    def compute_initial_trace(self, occupancy):
+        trace = super().compute_initial_trace(occupancy)
+        trace.histogram = self._histogram
+        trace.occurrences = self._occurrences
+        trace.entropy = self._entropy
+        trace.cumulative_mean_features = self._mean_features
+        trace.mod_factor = np.array([self._m])
+        return trace
+
+    def set_aux_state(self, occupancy, *args, **kwargs):
+        features = np.array(self._ensemble.compute_feature_vector(occupancy))
+        self._current_features = features
+        self._current_enthalpy = float(np.dot(features, self.natural_params))
+        self.mcusher.set_aux_state(occupancy)
+
+    # ---------------- device path ----------------
+
+    def make_step_fn(self):
+        propose_fn, _ = self.mcusher.device_proposal()
+        return devmc.make_wang_landau_step(
+            propose_fn,
+            self._device_applier(),
+            min_enthalpy=self._window[0],
+            bin_size=self._window[2],
+            num_levels=len(self._levels),
+            flatness=self.flatness,
+            check_period=self.check_period,
+            update_period=self.update_period,
+            mod_divisor=self._mod_divisor,
+        )
+
+    def initial_state(self, occupancies) -> dict:
+        import jax.numpy as jnp
+
+        state = super().initial_state(occupancies)
+        nwalkers, num_levels = state["occupancy"].shape[0], len(self._levels)
+        nfeat = len(self.natural_params)
+        state["entropy"] = jnp.zeros((nwalkers, num_levels))
+        state["histogram"] = jnp.zeros((nwalkers, num_levels), dtype=jnp.int32)
+        state["occurrences"] = jnp.zeros((nwalkers, num_levels), dtype=jnp.int32)
+        state["mean_features"] = jnp.zeros((nwalkers, num_levels, nfeat))
+        state["mod_factor"] = jnp.full(nwalkers, self._m, dtype=jnp.float64)
+        state["wl_counter"] = jnp.zeros(nwalkers, dtype=jnp.int32)
+        return state

@@ -1,0 +1,416 @@
+"""SampleContainer: storage and statistics of sampled MC traces.
+
+Mirrors the reference (smol/moca/sampler/container.py): traces are stacked
+arrays with leading axes [n_samples, n_walkers, ...]; getters provide
+energies, compositions, species counts, minima and efficiency; an HDF5
+backend supports chunked streaming (SWMR) and full save/load round trips.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from collections import defaultdict
+
+import numpy as np
+
+from smol_tpu.moca.metadata import Metadata
+from smol_tpu.moca.trace import Trace
+from smol_tpu.serial import MSONable, jsanitize, process_decoded
+
+__all__ = ["SampleContainer"]
+
+
+class SampleContainer(MSONable):
+    """Holds sampled traces of an MC run."""
+
+    def __init__(self, ensemble, sample_trace: Trace, sampling_metadata=None):
+        """Initialize a SampleContainer.
+
+        Args:
+            ensemble: the Ensemble sampled from (or a dict of its specs).
+            sample_trace: an empty Trace with arrays shaped
+                [0, nwalkers, ...] defining what will be recorded.
+            sampling_metadata: optional metadata dict.
+        """
+        if isinstance(ensemble, dict):
+            self._ensemble_specs = ensemble
+            self._ensemble = None
+        else:
+            self._ensemble = ensemble
+            self._ensemble_specs = {
+                "num_sites": ensemble.num_sites,
+                "system_size": ensemble.system_size,
+                "natural_parameters": np.asarray(ensemble.natural_parameters),
+                "num_energy_coefs": ensemble.num_energy_coefs,
+            }
+        self._sublattices = (
+            ensemble.sublattices if not isinstance(ensemble, dict) else []
+        )
+        meta = dict(sampling_metadata or {})
+        meta.pop("cls_name", None)
+        self.metadata = Metadata("SampleContainer", **meta)
+        self._trace = sample_trace
+        self._nsamples = 0
+        self.total_mc_steps_per_sample = 1
+        self._backend = None
+
+    # ---------------- basic properties ----------------
+
+    @property
+    def ensemble(self):
+        return self._ensemble
+
+    @property
+    def sublattices(self):
+        return self._sublattices
+
+    @property
+    def natural_parameters(self) -> np.ndarray:
+        return np.asarray(self._ensemble_specs["natural_parameters"])
+
+    @property
+    def _num_energy_coefs(self) -> int:
+        return int(self._ensemble_specs["num_energy_coefs"])
+
+    @property
+    def num_samples(self) -> int:
+        return self._nsamples
+
+    @property
+    def total_mc_steps(self) -> int:
+        return self.total_mc_steps_per_sample * self._nsamples
+
+    @property
+    def shape(self) -> tuple:
+        """(nwalkers, num_sites)."""
+        return (
+            self._trace.occupancy.shape[1],
+            self._ensemble_specs["num_sites"],
+        )
+
+    @property
+    def traced_values(self) -> list:
+        return self._trace.names
+
+    # ---------------- trace access ----------------
+
+    @staticmethod
+    def _flatten(values):
+        """Merge the samples and walkers axes."""
+        return values.reshape(-1, *values.shape[2:])
+
+    def get_trace_value(self, name, discard=0, thin_by=1, flat=True):
+        """Sampled values of one traced quantity."""
+        value = getattr(self._trace, name)[: self._nsamples]
+        value = value[discard + thin_by - 1 :: thin_by]
+        return self._flatten(value) if flat else value
+
+    def mean_trace_value(self, name, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value(name, discard, thin_by, flat).mean(axis=0)
+
+    def trace_value_variance(self, name, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value(name, discard, thin_by, flat).var(axis=0)
+
+    def get_occupancies(self, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value("occupancy", discard, thin_by, flat)
+
+    def get_enthalpies(self, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value("enthalpy", discard, thin_by, flat)
+
+    def get_feature_vectors(self, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value("features", discard, thin_by, flat)
+
+    def get_energies(self, discard=0, thin_by=1, flat=True):
+        """Energies (excluding chemical work when mu were set)."""
+        if len(self.natural_parameters) == self._num_energy_coefs:
+            return self.get_enthalpies(discard, thin_by, flat)
+        features = self.get_feature_vectors(discard, thin_by, flat)
+        return features[..., : self._num_energy_coefs] @ self.natural_parameters[
+            : self._num_energy_coefs
+        ]
+
+    def get_temperatures(self, discard=0, thin_by=1, flat=True):
+        return self.get_trace_value("temperature", discard, thin_by, flat)
+
+    def sampling_efficiency(self, discard=0, flat=True):
+        """Mean acceptance fraction of the recorded windows."""
+        if "accept_rate" in self._trace.names:
+            eff = self.get_trace_value("accept_rate", discard, flat=flat)
+        else:
+            eff = self.get_trace_value("accepted", discard, flat=flat)
+        return eff.mean(axis=0)
+
+    # ---------------- statistics ----------------
+
+    def mean_enthalpy(self, discard=0, thin_by=1, flat=True):
+        return self.get_enthalpies(discard, thin_by, flat).mean(axis=0)
+
+    def enthalpy_variance(self, discard=0, thin_by=1, flat=True):
+        return self.get_enthalpies(discard, thin_by, flat).var(axis=0)
+
+    def mean_energy(self, discard=0, thin_by=1, flat=True):
+        return self.get_energies(discard, thin_by, flat).mean(axis=0)
+
+    def energy_variance(self, discard=0, thin_by=1, flat=True):
+        return self.get_energies(discard, thin_by, flat).var(axis=0)
+
+    def mean_feature_vector(self, discard=0, thin_by=1, flat=True):
+        return self.get_feature_vectors(discard, thin_by, flat).mean(axis=0)
+
+    def feature_vector_variance(self, discard=0, thin_by=1, flat=True):
+        return self.get_feature_vectors(discard, thin_by, flat).var(axis=0)
+
+    def get_minimum_enthalpy(self, discard=0, thin_by=1, flat=True):
+        return self.get_enthalpies(discard, thin_by, flat).min(axis=0)
+
+    def get_minimum_energy(self, discard=0, thin_by=1, flat=True):
+        return self.get_energies(discard, thin_by, flat).min(axis=0)
+
+    def get_minimum_enthalpy_occupancy(self, discard=0, thin_by=1, flat=True):
+        inds = self.get_enthalpies(discard, thin_by, flat).argmin(axis=0)
+        occus = self.get_occupancies(discard, thin_by, flat)
+        if flat:
+            return occus[inds]
+        return occus[inds, np.arange(self.shape[0])]
+
+    def get_minimum_energy_occupancy(self, discard=0, thin_by=1, flat=True):
+        inds = self.get_energies(discard, thin_by, flat).argmin(axis=0)
+        occus = self.get_occupancies(discard, thin_by, flat)
+        if flat:
+            return occus[inds]
+        return occus[inds, np.arange(self.shape[0])]
+
+    def get_sublattice_species_counts(self, sublattice, discard=0, thin_by=1, flat=True):
+        """Per-sample counts of each species of a sublattice (encoding order)."""
+        if sublattice not in self._sublattices:
+            raise ValueError("Sublattice provided is not recognized.")
+        occus = self.get_occupancies(discard, thin_by, flat=False)
+        sub_occus = occus[..., sublattice.sites]  # [S, W, n_sub_sites]
+        counts = np.stack(
+            [(sub_occus == code).sum(axis=-1) for code in sublattice.encoding],
+            axis=-1,
+        ).astype(np.float64)
+        return self._flatten(counts) if flat else counts
+
+    def get_sublattice_compositions(self, sublattice, discard=0, thin_by=1, flat=True):
+        counts = self.get_sublattice_species_counts(sublattice, discard, thin_by, flat)
+        return counts / len(sublattice.sites)
+
+    def get_species_counts(self, discard=0, thin_by=1, flat=True):
+        """Dict species -> per-sample counts across all sublattices."""
+        counts = defaultdict(float)
+        for sublattice in self._sublattices:
+            sub = self.get_sublattice_species_counts(sublattice, discard, thin_by, flat)
+            for species, count in zip(sublattice.species, np.moveaxis(sub, -1, 0)):
+                counts[species] = counts[species] + count
+        return dict(counts)
+
+    def get_compositions(self, discard=0, thin_by=1, flat=True):
+        counts = self.get_species_counts(discard, thin_by, flat)
+        return {sp: c / self.shape[1] for sp, c in counts.items()}
+
+    def mean_composition(self, discard=0, thin_by=1, flat=True):
+        return {
+            sp: c.mean(axis=0)
+            for sp, c in self.get_compositions(discard, thin_by, flat).items()
+        }
+
+    def composition_variance(self, discard=0, thin_by=1, flat=True):
+        return {
+            sp: c.var(axis=0)
+            for sp, c in self.get_compositions(discard, thin_by, flat).items()
+        }
+
+    def mean_sublattice_composition(self, sublattice, discard=0, thin_by=1, flat=True):
+        return self.get_sublattice_compositions(
+            sublattice, discard, thin_by, flat
+        ).mean(axis=0)
+
+    def sublattice_composition_variance(self, sublattice, discard=0, thin_by=1, flat=True):
+        return self.get_sublattice_compositions(
+            sublattice, discard, thin_by, flat
+        ).var(axis=0)
+
+    def get_sampled_structures(self, indices=None, flat=True):
+        """Decode sampled occupancies into Structures (needs the ensemble)."""
+        if self._ensemble is None:
+            raise RuntimeError("Ensemble is not available in this container.")
+        occus = self.get_occupancies(flat=flat)
+        indices = range(len(occus)) if indices is None else indices
+        return [
+            self._ensemble.processor.structure_from_occupancy(occus[i])
+            for i in indices
+        ]
+
+    # ---------------- storage ----------------
+
+    def allocate(self, nsamples: int):
+        """Pre-allocate space for nsamples more samples."""
+        for name, value in self._trace.items():
+            grown = np.empty((nsamples, *value.shape[1:]), dtype=value.dtype)
+            setattr(self._trace, name, np.concatenate([value[: self._nsamples], grown]))
+
+    def save_sampled_trace(self, trace, thinned_by: int = 1):
+        """Append one sampled trace (arrays shaped [nwalkers, ...])."""
+        if self._nsamples >= len(self._trace.occupancy):
+            self.allocate(max(1, self._nsamples))
+        for name, value in trace.items():
+            getattr(self._trace, name)[self._nsamples] = value
+        self._nsamples += 1
+        self.total_mc_steps_per_sample = thinned_by
+
+    def save_sampled_traces(self, traces, thinned_by: int = 1):
+        """Append a batch of samples (arrays shaped [nsamples, nwalkers, ...])."""
+        n_new = len(traces.occupancy)
+        if self._nsamples + n_new > len(self._trace.occupancy):
+            self.allocate(self._nsamples + n_new - len(self._trace.occupancy))
+        for name, value in traces.items():
+            target = getattr(self._trace, name)
+            target[self._nsamples : self._nsamples + n_new] = value
+        self._nsamples += n_new
+        self.total_mc_steps_per_sample = thinned_by
+
+    def clear(self):
+        """Drop all samples."""
+        for name, value in self._trace.items():
+            setattr(self._trace, name, np.empty((0, *value.shape[1:]), value.dtype))
+        self._nsamples = 0
+
+    def vacuum(self):
+        """Trim over-allocated space."""
+        for name, value in self._trace.items():
+            setattr(self._trace, name, np.ascontiguousarray(value[: self._nsamples]))
+
+    # ---------------- HDF5 backend ----------------
+
+    def get_backend(self, file_path, alloc_nsamples=0, swmr_mode=False):
+        """Open (or create) an HDF5 streaming backend."""
+        import h5py
+
+        if os.path.isfile(file_path):
+            backend = h5py.File(file_path, mode="r+", libver="latest")
+            self._check_backend(backend)
+            self._grow_backend(backend, alloc_nsamples)
+        else:
+            backend = h5py.File(file_path, mode="w-", libver="latest")
+            self._init_backend(backend, alloc_nsamples)
+        if swmr_mode:
+            backend.swmr_mode = True
+        return backend
+
+    def _check_backend(self, backend):
+        if tuple(backend.attrs["shape"]) != self.shape:
+            raise RuntimeError(
+                f"Backend shape {tuple(backend.attrs['shape'])} does not "
+                f"match container shape {self.shape}."
+            )
+
+    def _init_backend(self, backend, nsamples):
+        backend.attrs["shape"] = self.shape
+        backend.attrs["nsamples"] = 0
+        backend.attrs["total_mc_steps_per_sample"] = self.total_mc_steps_per_sample
+        backend.attrs["metadata"] = str(jsanitize(vars(self.metadata)))
+        group = backend.create_group("trace")
+        for name, value in self._trace.items():
+            group.create_dataset(
+                name,
+                shape=(nsamples, *value.shape[1:]),
+                maxshape=(None, *value.shape[1:]),
+                dtype=value.dtype,
+            )
+
+    @staticmethod
+    def _grow_backend(backend, nsamples):
+        for name in backend["trace"]:
+            dataset = backend["trace"][name]
+            dataset.resize(dataset.shape[0] + nsamples, axis=0)
+
+    def flush_to_backend(self, backend):
+        """Write buffered samples to the backend and clear memory."""
+        start = int(backend.attrs["nsamples"])
+        for name, value in self._trace.items():
+            backend["trace"][name][start : start + self._nsamples] = value[
+                : self._nsamples
+            ]
+        backend.attrs["nsamples"] = start + self._nsamples
+        backend.attrs["total_mc_steps_per_sample"] = self.total_mc_steps_per_sample
+        backend.flush()
+        self.clear()
+
+    def to_hdf5(self, file_path):
+        """Save the full container to an HDF5 file."""
+        self.vacuum()
+        backend = self.get_backend(file_path, alloc_nsamples=self._nsamples)
+        backend.attrs["nsamples"] = 0
+        nsamples = self._nsamples
+        steps = self.total_mc_steps_per_sample
+        self.flush_to_backend(backend)
+        backend.close()
+        # flush clears memory; restore in-memory samples
+        self_restored = SampleContainer.from_hdf5(file_path, ensemble=self._ensemble)
+        self._trace = self_restored._trace
+        self._nsamples = nsamples
+        self.total_mc_steps_per_sample = steps
+
+    @classmethod
+    def from_hdf5(cls, file_path, swmr_mode=True, ensemble=None):
+        """Load a container from an HDF5 file."""
+        import h5py
+
+        with h5py.File(file_path, mode="r", swmr=swmr_mode, libver="latest") as f:
+            nsamples = int(f.attrs["nsamples"])
+            written = {name: np.array(f["trace"][name]) for name in f["trace"]}
+            steps = int(f.attrs.get("total_mc_steps_per_sample", 1))
+        if nsamples < next(iter(written.values())).shape[0]:
+            warnings.warn(
+                f"The hdf5 file {file_path} contains {nsamples} written "
+                "samples of allocated space; loading only written samples."
+            )
+        trace = Trace(**{k: v[:nsamples] for k, v in written.items()})
+        nwalkers = trace.occupancy.shape[1] if nsamples else 1
+        specs = {
+            "num_sites": written["occupancy"].shape[-1],
+            "system_size": 0,
+            "natural_parameters": np.zeros(1),
+            "num_energy_coefs": 1,
+        }
+        container = cls(ensemble if ensemble is not None else specs, trace)
+        container._nsamples = nsamples
+        container.total_mc_steps_per_sample = steps
+        return container
+
+    def __len__(self):
+        return self._nsamples
+
+    def as_dict(self) -> dict:
+        self.vacuum()
+        return {
+            "@module": type(self).__module__,
+            "@class": type(self).__name__,
+            "ensemble_specs": jsanitize(self._ensemble_specs),
+            "metadata": jsanitize(vars(self.metadata)),
+            "trace": {k: v.tolist() for k, v in self._trace.items()},
+            "trace_dtypes": {k: str(v.dtype) for k, v in self._trace.items()},
+            "nsamples": self._nsamples,
+            "total_mc_steps_per_sample": self.total_mc_steps_per_sample,
+            "sublattices": [s.as_dict() for s in self._sublattices],
+        }
+
+    @classmethod
+    def from_dict(cls, d, ensemble=None):
+        trace = Trace(
+            **{
+                k: np.array(v, dtype=d["trace_dtypes"][k])
+                for k, v in d["trace"].items()
+            }
+        )
+        specs = dict(d["ensemble_specs"])
+        specs["natural_parameters"] = np.array(specs["natural_parameters"])
+        container = cls(
+            ensemble if ensemble is not None else specs, trace, d.get("metadata")
+        )
+        container._sublattices = [process_decoded(s) for s in d.get("sublattices", [])]
+        container._nsamples = d["nsamples"]
+        container.total_mc_steps_per_sample = d["total_mc_steps_per_sample"]
+        return container

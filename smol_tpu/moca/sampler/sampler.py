@@ -1,0 +1,370 @@
+"""Sampler: drives compiled MC chains and stores traces.
+
+The TPU-native inversion of the reference Sampler (smol/moca/sampler/
+sampler.py): instead of a Python loop calling ``kernel.single_step`` per
+walker per step, the whole (nwalkers x nsteps) loop runs on device as one
+``lax.scan`` (smol_tpu.ops.mc.run_chain) in chunks; only thinned traces come
+back to host, where they stream into the SampleContainer (optionally to
+HDF5).  ``nwalkers`` is therefore a throughput lever (thousands per chip),
+not an outer loop.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from warnings import warn
+
+import numpy as np
+
+from smol_tpu.constants import kB
+from smol_tpu.moca.sampler.container import SampleContainer
+from smol_tpu.moca.trace import Trace
+
+__all__ = ["Sampler"]
+
+
+class Sampler:
+    """Runs MCMC sampling simulations."""
+
+    def __init__(self, kernel, container, nwalkers=1):
+        """Initialize a Sampler.
+
+        Prefer :meth:`from_ensemble`.
+
+        Args:
+            kernel: an MCKernel defining the algorithm (one kernel drives
+                all walkers — the TPU replica-batch design).
+            container: a SampleContainer for the samples.
+            nwalkers: number of vmapped walkers.
+        """
+        self._kernel = kernel
+        self._container = container
+        self._nwalkers = nwalkers
+        self._state = None  # device state between runs
+        self._container.metadata.kernels = [kernel.spec]
+
+    @classmethod
+    def from_ensemble(
+        cls,
+        ensemble,
+        *args,
+        step_type=None,
+        kernel_type=None,
+        seeds=None,
+        seed=None,
+        nwalkers=1,
+        **kwargs,
+    ):
+        """Create a Sampler from an Ensemble.
+
+        Default step type is flip for semigrand (chemical potentials set)
+        and swap for canonical ensembles, kernel type Metropolis — matching
+        the reference defaults (sampler.py:94-104).
+        """
+        from smol_tpu.moca.kernel import mckernel_factory
+
+        if step_type is None:
+            step_type = (
+                "flip" if ensemble.chemical_potentials is not None else "swap"
+            )
+        if kernel_type is None:
+            kernel_type = "Metropolis"
+        if seed is None and seeds:
+            seed = seeds[0]
+        kernel = mckernel_factory(
+            kernel_type, ensemble, step_type, *args, seed=seed, **kwargs
+        )
+        container = cls._empty_container(ensemble, kernel, nwalkers)
+        return cls(kernel, container, nwalkers=nwalkers)
+
+    @staticmethod
+    def _empty_container(ensemble, kernel, nwalkers):
+        nfeat = len(ensemble.natural_parameters)
+        nsites = ensemble.num_sites
+        trace_arrays = {
+            "occupancy": np.empty((0, nwalkers, nsites), dtype=np.int32),
+            "features": np.empty((0, nwalkers, nfeat), dtype=np.float64),
+            "enthalpy": np.empty((0, nwalkers), dtype=np.float64),
+            "accepted": np.empty((0, nwalkers), dtype=bool),
+            "accept_rate": np.empty((0, nwalkers), dtype=np.float64),
+        }
+        if hasattr(kernel, "temperature"):
+            trace_arrays["temperature"] = np.empty((0, nwalkers), dtype=np.float64)
+        if type(kernel).__name__ == "WangLandau":
+            nlev = len(kernel._levels)
+            trace_arrays.update(
+                histogram=np.empty((0, nwalkers, nlev), dtype=np.int32),
+                occurrences=np.empty((0, nwalkers, nlev), dtype=np.int32),
+                entropy=np.empty((0, nwalkers, nlev), dtype=np.float64),
+                cumulative_mean_features=np.empty(
+                    (0, nwalkers, nlev, nfeat), dtype=np.float64
+                ),
+                mod_factor=np.empty((0, nwalkers), dtype=np.float64),
+            )
+        return SampleContainer(
+            kernel.ensemble, Trace(**trace_arrays), ensemble.thermo_boundaries
+        )
+
+    # ---------------- properties ----------------
+
+    @property
+    def mckernels(self):
+        """List with the single batched kernel (API parity)."""
+        return [self._kernel]
+
+    @property
+    def mckernel(self):
+        return self._kernel
+
+    @property
+    def seeds(self):
+        return [self._kernel.seed]
+
+    @property
+    def samples(self) -> SampleContainer:
+        return self._container
+
+    @property
+    def nwalkers(self) -> int:
+        return self._nwalkers
+
+    def efficiency(self, discard=0, flat=True):
+        return self._container.sampling_efficiency(discard=discard, flat=flat)
+
+    def clear_samples(self):
+        self._container.clear()
+
+    # ---------------- trace recording ----------------
+
+    def _make_record_fn(self, thin_by: int):
+        import jax
+        import jax.numpy as jnp
+
+        kernel = self._kernel
+        track_features = kernel.track_features
+        full_features = None if track_features else kernel.full_features_fn()
+        natural_params = jnp.asarray(kernel.natural_params)
+        is_wl = type(kernel).__name__ == "WangLandau"
+
+        def record(state):
+            rec = {
+                "occupancy": state["occupancy"],
+                "enthalpy": state["enthalpy"],
+                "accepted": state["accepted"],
+                "accept_rate": state["window_naccept"] / thin_by,
+            }
+            if track_features:
+                rec["features"] = state["features"]
+            else:
+                # recompute exactly from occupancies: no accumulation drift
+                feats = jax.vmap(full_features)(state["occupancy"])
+                rec["features"] = feats
+                rec["enthalpy"] = feats @ natural_params
+            if "beta" in state:
+                rec["temperature"] = 1.0 / (kB * state["beta"])
+            if is_wl:
+                rec.update(
+                    histogram=state["histogram"],
+                    occurrences=state["occurrences"],
+                    entropy=state["entropy"],
+                    cumulative_mean_features=state["mean_features"],
+                    mod_factor=state["mod_factor"],
+                )
+            return rec
+
+        return record
+
+    # ---------------- running ----------------
+
+    def setup_sample(self, initial_occupancies):
+        """Initialize the device state from initial occupancies [W, N]."""
+        occupancies = np.atleast_2d(np.asarray(initial_occupancies, dtype=np.int32))
+        if occupancies.shape[0] != self._nwalkers:
+            if occupancies.shape[0] == 1:
+                occupancies = np.repeat(occupancies, self._nwalkers, axis=0)
+            else:
+                raise AttributeError(
+                    f"Initial occupancies have {occupancies.shape[0]} walkers; "
+                    f"expected {self._nwalkers}."
+                )
+        self._state = self._kernel.initial_state(occupancies)
+        return self._state
+
+    def run(
+        self,
+        nsteps,
+        initial_occupancies=None,
+        thin_by=1,
+        progress=False,
+        stream_chunk=0,
+        stream_file=None,
+        keep_last_chunk=False,
+        swmr_mode=False,
+        samples_per_launch=None,
+    ):
+        """Run an MC simulation saving a sample every ``thin_by`` steps.
+
+        Args:
+            nsteps: total MC steps per walker.
+            initial_occupancies: [W, N] (or [N]) int array. When None,
+                continues from the current state or the last stored sample.
+            thin_by: steps between saved samples.
+            progress: print coarse progress per device launch.
+            stream_chunk: if > 0, flush samples to HDF5 in chunks this size.
+            stream_file: HDF5 path (auto-named when omitted).
+            keep_last_chunk: keep the last chunk in memory after streaming.
+            swmr_mode: open the HDF5 backend in SWMR mode.
+            samples_per_launch: samples computed per device launch (tunes
+                trace-memory vs dispatch overhead; default ~64MB of traces).
+        """
+        import jax
+
+        from smol_tpu.ops.mc import run_chain
+
+        if nsteps % thin_by != 0:
+            warn(
+                f"nsteps {nsteps} is not a multiple of thin_by {thin_by}; "
+                f"the last {nsteps % thin_by} steps are ignored.",
+                RuntimeWarning,
+            )
+        if initial_occupancies is not None:
+            if self._container.num_samples > 0:
+                warn(
+                    "Initial occupancies provided with pre-existing samples. "
+                    "Reset the container if this is not what you want.",
+                    RuntimeWarning,
+                )
+            self.setup_sample(initial_occupancies)
+        elif self._state is None:
+            try:
+                occupancies = self._container.get_occupancies(flat=False)[-1]
+            except IndexError as err:
+                raise RuntimeError(
+                    "No saved samples to take initial occupancies from; "
+                    "they must be provided."
+                ) from err
+            self.setup_sample(occupancies)
+
+        nsamples = nsteps // thin_by
+        if samples_per_launch is None:
+            # bound per-launch trace memory to ~64 MB
+            bytes_per_sample = sum(
+                int(np.prod(v.shape[1:])) * v.dtype.itemsize
+                for _, v in self._container._trace.items()
+            )
+            samples_per_launch = max(
+                1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
+            )
+        step_fn = self._kernel.make_step_fn()
+        record_fn = self._make_record_fn(thin_by)
+
+        backend = None
+        if stream_chunk > 0:
+            if stream_file is None:
+                now = datetime.now()
+                stream_file = os.path.join(
+                    os.getcwd(),
+                    "moca-samples-" + now.strftime("%Y-%m-%d-%H%M%S%f") + ".h5",
+                )
+            backend = self._container.get_backend(
+                stream_file, nsamples, swmr_mode=swmr_mode
+            )
+
+        key = jax.random.key(self._kernel.seed % (2**63))
+        # fold in the number of samples already taken so reruns differ
+        key = jax.random.fold_in(key, self._container.num_samples)
+
+        done = 0
+        since_flush = 0
+        while done < nsamples:
+            launch = min(samples_per_launch, nsamples - done)
+            key, subkey = jax.random.split(key)
+            self._state, traces = run_chain(
+                self._state, subkey, step_fn, record_fn, int(launch), int(thin_by)
+            )
+            host_traces = Trace(**{k: np.asarray(v) for k, v in traces.items()})
+            self._container.save_sampled_traces(host_traces, thinned_by=thin_by)
+            done += launch
+            since_flush += launch
+            if backend is not None and since_flush >= stream_chunk:
+                self._container.flush_to_backend(backend)
+                since_flush = 0
+            if progress:
+                print(f"sampled {done}/{nsamples} (x{thin_by} steps)")
+
+        if backend is not None:
+            if self._container.num_samples > 0:
+                self._container.flush_to_backend(backend)
+            backend.close()
+            if not keep_last_chunk:
+                self.clear_samples()
+
+    def sample(self, nsteps, initial_occupancies, thin_by=1, progress=False):
+        """Generator yielding a host Trace every thin_by steps.
+
+        Provided for reference-API parity; prefer :meth:`run` which batches
+        samples per device launch.
+        """
+        import jax
+
+        from smol_tpu.ops.mc import run_chain
+
+        self.setup_sample(initial_occupancies)
+        step_fn = self._kernel.make_step_fn()
+        record_fn = self._make_record_fn(thin_by)
+        key = jax.random.key(self._kernel.seed % (2**63))
+        for _ in range(nsteps // thin_by):
+            key, subkey = jax.random.split(key)
+            self._state, traces = run_chain(
+                self._state, subkey, step_fn, record_fn, 1, int(thin_by)
+            )
+            yield Trace(**{k: np.asarray(v)[0] for k, v in traces.items()})
+
+    def anneal(
+        self,
+        temperatures,
+        mcmc_steps,
+        initial_occupancies=None,
+        thin_by=1,
+        progress=False,
+        stream_chunk=0,
+        stream_file=None,
+        swmr_mode=True,
+    ):
+        """Simulated annealing: run at each temperature in sequence."""
+        if temperatures[0] < temperatures[-1]:
+            raise ValueError(
+                "End temperature is greater than start temperature: "
+                f"{temperatures[-1]:.2f} > {temperatures[0]:.2f}."
+            )
+        self._kernel.temperature = temperatures[0]
+        self.run(
+            mcmc_steps,
+            initial_occupancies=initial_occupancies,
+            thin_by=thin_by,
+            progress=progress,
+            stream_chunk=stream_chunk,
+            stream_file=stream_file,
+            swmr_mode=swmr_mode,
+            keep_last_chunk=True,
+        )
+        import jax.numpy as jnp
+
+        for temperature in temperatures[1:]:
+            self._kernel.temperature = temperature
+            if self._state is not None and "beta" in self._state:
+                self._state["beta"] = jnp.full_like(
+                    self._state["beta"], self._kernel.beta
+                )
+            self.run(
+                mcmc_steps,
+                thin_by=thin_by,
+                progress=progress,
+                stream_chunk=stream_chunk,
+                stream_file=stream_file,
+                swmr_mode=swmr_mode,
+                keep_last_chunk=True,
+            )
+        if stream_chunk > 0:
+            self.clear_samples()

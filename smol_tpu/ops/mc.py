@@ -1,0 +1,515 @@
+"""Device Monte Carlo machinery: proposals, kernels, scan drivers.
+
+This is the TPU-native inversion of the reference's MC runtime: where smol
+does a per-flip Python -> Cython round trip (smol/moca/sampler/sampler.py:164
+-> kernel/base.py:145 -> evaluator.pyx), here the entire step loop lives on
+device as a compiled ``lax.scan``, vmapped over walkers.  Per-chain Markov
+semantics are preserved exactly — each walker is an independent sequential
+chain; throughput comes from batching walkers, never from reordering flips.
+
+Structure:
+- :func:`sublattice_tables`: pack active sublattices into padded arrays.
+- proposal makers (flip, swap, multistep, composite, table-flip elsewhere):
+  pure per-walker functions ``(key, occu) -> (sites [S], codes [S],
+  valid [S], log_priori)``.
+- :func:`make_step_applier`: apply S flips sequentially against the evolving
+  occupancy and accumulate the enthalpy change (and optionally feature
+  deltas), matching the reference's sequential multi-flip semantics
+  (processor/expansion.py:215-230).
+- kernel step builders (Metropolis / UniformlyRandom / WangLandau) producing
+  ``step(state, key) -> state`` over the batched walker state.
+- :func:`run_chain`: scan nsamples x thin_by steps, recording thinned traces.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "sublattice_tables",
+    "make_flip_proposal",
+    "make_swap_proposal",
+    "make_multistep_proposal",
+    "make_composite_proposal",
+    "make_step_applier",
+    "make_metropolis_step",
+    "make_uniform_step",
+    "make_wang_landau_step",
+    "run_chain",
+]
+
+
+# ---------------------------------------------------------------------------
+# sublattice tables
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SublatticeTables:
+    """Padded device arrays describing active sublattices."""
+
+    active_sites: jnp.ndarray  # [S, A] int32, padded 0
+    n_active: jnp.ndarray  # [S] int32
+    encodings: jnp.ndarray  # [S, C] int32, padded 0
+    n_codes: jnp.ndarray  # [S] int32
+    cum_probs: jnp.ndarray  # [S] f64 cumulative selection probabilities
+
+
+def sublattice_tables(sublattices, sublattice_probabilities=None) -> SublatticeTables:
+    """Pack the ACTIVE sublattices into fixed-shape tables."""
+    active = [s for s in sublattices if s.is_active]
+    if not active:
+        raise ValueError("No active sublattices.")
+    if sublattice_probabilities is None:
+        probs = np.full(len(active), 1.0 / len(active))
+    else:
+        probs = np.asarray(sublattice_probabilities, dtype=np.float64)
+        if len(probs) != len(active):
+            raise AttributeError(
+                "Sublattice probabilities must match the number of active "
+                "sublattices."
+            )
+        if abs(probs.sum() - 1) > 1e-12:
+            raise ValueError("Sublattice probabilities must sum to one.")
+    amax = max(len(s.active_sites) for s in active)
+    cmax = max(len(s.encoding) for s in active)
+    act = np.zeros((len(active), amax), dtype=np.int32)
+    nact = np.zeros(len(active), dtype=np.int32)
+    enc = np.zeros((len(active), cmax), dtype=np.int32)
+    ncod = np.zeros(len(active), dtype=np.int32)
+    for i, s in enumerate(active):
+        act[i, : len(s.active_sites)] = s.active_sites
+        nact[i] = len(s.active_sites)
+        enc[i, : len(s.encoding)] = s.encoding
+        ncod[i] = len(s.encoding)
+    return SublatticeTables(
+        active_sites=jnp.asarray(act),
+        n_active=jnp.asarray(nact),
+        encodings=jnp.asarray(enc),
+        n_codes=jnp.asarray(ncod),
+        cum_probs=jnp.asarray(np.cumsum(probs)),
+    )
+
+
+def _choose_sublattice(key, tables: SublatticeTables):
+    u = jax.random.uniform(key)
+    return jnp.searchsorted(tables.cum_probs, u, side="right").astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# proposals
+# ---------------------------------------------------------------------------
+
+
+def make_flip_proposal(tables: SublatticeTables):
+    """Single-site flip to a different random allowed species (Flip usher)."""
+
+    def propose(key, occu):
+        k_sl, k_site, k_code = jax.random.split(key, 3)
+        sl = _choose_sublattice(k_sl, tables)
+        i = jax.random.randint(k_site, (), 0, tables.n_active[sl])
+        site = tables.active_sites[sl, i]
+        cur = occu[site]
+        codes = tables.encodings[sl]
+        pos = jnp.argmax(codes == cur)
+        j = jax.random.randint(k_code, (), 0, tables.n_codes[sl] - 1)
+        j = j + (j >= pos)
+        code = codes[j]
+        return (
+            jnp.array([site], dtype=jnp.int32),
+            jnp.array([code], dtype=jnp.int32),
+            jnp.array([True]),
+            jnp.float64(0.0),
+        )
+
+    return propose
+
+
+def make_swap_proposal(tables: SublatticeTables):
+    """Canonical two-site swap within one sublattice (Swap usher).
+
+    Site 2 is uniform among active sites whose occupancy differs from
+    site 1's (reference mcusher.py:176-200); the step is empty when no such
+    site exists.
+    """
+
+    def propose(key, occu):
+        k_sl, k1, k2 = jax.random.split(key, 3)
+        sl = _choose_sublattice(k_sl, tables)
+        i = jax.random.randint(k1, (), 0, tables.n_active[sl])
+        site1 = tables.active_sites[sl, i]
+        sp1 = occu[site1]
+        act = tables.active_sites[sl]  # [A]
+        in_range = jnp.arange(act.shape[0]) < tables.n_active[sl]
+        mask = in_range & (occu[act] != sp1)
+        count = jnp.sum(mask)
+        m = jax.random.randint(k2, (), 0, jnp.maximum(count, 1))
+        cum = jnp.cumsum(mask)
+        site2 = act[jnp.argmax(mask & (cum == m + 1))]
+        has = count > 0
+        sites = jnp.array([site1, site2], dtype=jnp.int32)
+        codes = jnp.stack([occu[site2], sp1]).astype(jnp.int32)
+        return sites, codes, jnp.array([has, has]), jnp.float64(0.0)
+
+    return propose
+
+
+def make_multistep_proposal(base_propose, base_width, step_lengths, step_probabilities=None):
+    """Chain several base proposals into one step (MultiStep usher).
+
+    A sub-step is dropped when any of its sites was already touched,
+    matching reference mcusher.py:286-304.
+
+    Args:
+        base_propose: single-step proposal function.
+        base_width: number of flips a base proposal emits.
+        step_lengths: sequence of possible step lengths.
+        step_probabilities: optional probabilities over step_lengths.
+    """
+    lengths = np.atleast_1d(np.asarray(step_lengths, dtype=np.int64))
+    max_len = int(lengths.max())
+    if step_probabilities is None:
+        probs = np.full(len(lengths), 1.0 / len(lengths))
+    else:
+        probs = np.asarray(step_probabilities, dtype=np.float64)
+    cum_probs = jnp.asarray(np.cumsum(probs))
+    lengths_arr = jnp.asarray(lengths)
+    total = max_len * base_width
+
+    def propose(key, occu):
+        k_len, key = jax.random.split(key)
+        u = jax.random.uniform(k_len)
+        length = lengths_arr[jnp.searchsorted(cum_probs, u, side="right")]
+        sites = jnp.zeros(total, dtype=jnp.int32)
+        codes = jnp.zeros(total, dtype=jnp.int32)
+        valid = jnp.zeros(total, dtype=bool)
+        work_occu = occu
+        for step_i in range(max_len):
+            key, k_sub = jax.random.split(key)
+            s_sites, s_codes, s_valid, _ = base_propose(k_sub, work_occu)
+            in_length = step_i < length
+            # drop the sub-step if any of its sites was already used by a
+            # previous (valid) sub-step (reference mcusher.py:296-301)
+            touched = jnp.any(valid[None, :] & (sites[None, :] == s_sites[:, None]))
+            keep = in_length & ~touched
+            s_valid = s_valid & keep
+            off = step_i * base_width
+            sites = jax.lax.dynamic_update_slice(sites, s_sites, (off,))
+            codes = jax.lax.dynamic_update_slice(codes, s_codes, (off,))
+            valid = jax.lax.dynamic_update_slice(valid, s_valid, (off,))
+            work_occu = _apply_flips(work_occu, s_sites, s_codes, s_valid)
+        return sites, codes, valid, jnp.float64(0.0)
+
+    return propose
+
+
+def make_composite_proposal(proposals, widths, probabilities=None):
+    """Mix several proposal types with given probabilities (Composite usher)."""
+    n = len(proposals)
+    if probabilities is None:
+        probs = np.full(n, 1.0 / n)
+    else:
+        probs = np.asarray(probabilities, dtype=np.float64)
+        probs = probs / probs.sum()
+    cum = jnp.asarray(np.cumsum(probs))
+    width = max(widths)
+
+    def pad(sites, codes, valid, w):
+        padn = width - w
+        if padn == 0:
+            return sites, codes, valid
+        return (
+            jnp.pad(sites, (0, padn)),
+            jnp.pad(codes, (0, padn)),
+            jnp.pad(valid, (0, padn)),
+        )
+
+    def propose(key, occu):
+        k_pick, k_prop = jax.random.split(key)
+        u = jax.random.uniform(k_pick)
+        which = jnp.searchsorted(cum, u, side="right")
+        branches = []
+        for p, w in zip(proposals, widths):
+            def branch(key_occu, p=p, w=w):
+                k, o = key_occu
+                s, c, v, lp = p(k, o)
+                s, c, v = pad(s, c, v, w)
+                return s, c, v, lp
+            branches.append(branch)
+        return jax.lax.switch(which, branches, (k_prop, occu))
+
+    return propose
+
+
+def _apply_flips(occu, sites, codes, valid):
+    """Apply masked flips (scatter; invalid flips write their current value)."""
+    safe_codes = jnp.where(valid, codes, occu[sites])
+    return occu.at[sites].set(safe_codes)
+
+
+# ---------------------------------------------------------------------------
+# step application: sequential flips + enthalpy / feature deltas
+# ---------------------------------------------------------------------------
+
+
+def make_step_applier(delta_energy_fn, mu_table=None, delta_features_fn=None,
+                      num_features=None):
+    """Build ``apply(occu, sites, codes, valid) -> (occu', dH, dfeat)``.
+
+    Flips apply sequentially against the evolving occupancy (the reference's
+    multi-flip semantics).  ``dH`` is the generalized-enthalpy change:
+    energy change minus chemical work when ``mu_table`` is given (natural
+    parameter -1, reference ensemble.py:22-99).  When ``delta_features_fn``
+    is given, the feature-vector delta (with the chemical work appended) is
+    accumulated as well; otherwise dfeat is None.
+    """
+    mu = None if mu_table is None else jnp.asarray(mu_table)
+
+    def apply(occu, sites, codes, valid):
+        n_flips = sites.shape[0]
+        dh = jnp.float64(0.0)
+        dfeat = (
+            None
+            if delta_features_fn is None
+            else jnp.zeros(num_features, dtype=jnp.float64)
+        )
+        for i in range(n_flips):
+            site, code, v = sites[i], codes[i], valid[i]
+            de = delta_energy_fn(occu, site, code, None)
+            if mu is not None:
+                dwork = mu[site, code] - mu[site, occu[site]]
+                d = de - dwork
+            else:
+                dwork = 0.0
+                d = de
+            dh = dh + jnp.where(v, d, 0.0)
+            if dfeat is not None:
+                df = delta_features_fn(occu, site, code, None)
+                if mu is not None:
+                    df = jnp.concatenate([df, jnp.atleast_1d(dwork)])
+                dfeat = dfeat + jnp.where(v, df, 0.0)
+            occu = jnp.where(v, occu.at[site].set(code), occu)
+        return occu, dh, dfeat
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _accept_metropolis(key, exponent):
+    u = jax.random.uniform(key, dtype=jnp.float64)
+    return (exponent >= 0) | (exponent > jnp.log(u))
+
+
+def make_metropolis_step(propose_fn, apply_fn, log_priori_fn=None):
+    """Metropolis-Hastings step over the batched walker state.
+
+    State entries: occupancy [W, N] int32, enthalpy [W] f64, beta [W] f64,
+    accepted [W] bool, naccept [W] int32, features [W, F] f64 (optional),
+    bias [W] f64 (optional, with 'bias_fn' folded into log_priori_fn).
+    """
+
+    def step_one(occu, enthalpy, beta, key, features):
+        k_prop, k_acc = jax.random.split(key)
+        sites, codes, valid, logp = propose_fn(k_prop, occu)
+        if log_priori_fn is not None:
+            logp = logp + log_priori_fn(occu, sites, codes, valid)
+        occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
+        exponent = -beta * dh + logp
+        accept = _accept_metropolis(k_acc, exponent)
+        occu = jnp.where(accept, occu_new, occu)
+        enthalpy = enthalpy + jnp.where(accept, dh, 0.0)
+        if features is not None:
+            features = features + jnp.where(accept, dfeat, jnp.zeros_like(dfeat))
+        return occu, enthalpy, accept, features
+
+    def step(state, key):
+        keys = jax.random.split(key, state["occupancy"].shape[0])
+        has_features = "features" in state
+        occu, enthalpy, accept, features = jax.vmap(
+            step_one, in_axes=(0, 0, 0, 0, 0 if has_features else None)
+        )(
+            state["occupancy"],
+            state["enthalpy"],
+            state["beta"],
+            keys,
+            state.get("features"),
+        )
+        out = dict(state)
+        out["occupancy"] = occu
+        out["enthalpy"] = enthalpy
+        out["accepted"] = accept
+        out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
+        if has_features:
+            out["features"] = features
+        return out
+
+    return step
+
+
+def make_uniform_step(propose_fn, apply_fn):
+    """Uniformly-random (infinite temperature) acceptance kernel."""
+
+    def step_one(occu, enthalpy, key, features):
+        sites, codes, valid, _ = propose_fn(key, occu)
+        occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
+        if features is not None:
+            features = features + dfeat
+        return occu_new, enthalpy + dh, features
+
+    def step(state, key):
+        keys = jax.random.split(key, state["occupancy"].shape[0])
+        has_features = "features" in state
+        occu, enthalpy, features = jax.vmap(
+            step_one, in_axes=(0, 0, 0, 0 if has_features else None)
+        )(state["occupancy"], state["enthalpy"], keys, state.get("features"))
+        out = dict(state)
+        out["occupancy"] = occu
+        out["enthalpy"] = enthalpy
+        out["accepted"] = jnp.ones(occu.shape[0], dtype=bool)
+        out["naccept"] = state["naccept"] + 1
+        if has_features:
+            out["features"] = features
+        return out
+
+    return step
+
+
+def make_wang_landau_step(
+    propose_fn,
+    apply_fn,
+    min_enthalpy: float,
+    bin_size: float,
+    num_levels: int,
+    flatness: float = 0.8,
+    check_period: int = 1000,
+    update_period: int = 1,
+    mod_divisor: float = 2.0,
+):
+    """Wang-Landau step (arXiv PhysRevLett.86.2050; reference wanglandau.py).
+
+    Extra state entries per walker: entropy [W, L], histogram [W, L],
+    occurrences [W, L], mean_features [W, L, F], mod_factor [W],
+    wl_counter [W] (valid-state step counter).  Enthalpies outside
+    [min, min + L*bin) are rejected.
+    """
+    max_enthalpy = min_enthalpy + num_levels * bin_size
+
+    def bin_of(e):
+        return jnp.floor((e - min_enthalpy) / bin_size).astype(jnp.int32)
+
+    def step_one(occu, enthalpy, features, entropy, histogram, occurrences,
+                 mean_features, mod_factor, counter, key):
+        k_prop, k_acc = jax.random.split(key)
+        sites, codes, valid, logp = propose_fn(k_prop, occu)
+        occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
+        new_enthalpy = enthalpy + dh
+        bin_id = jnp.clip(bin_of(enthalpy), 0, num_levels - 1)
+        new_bin = jnp.clip(bin_of(new_enthalpy), 0, num_levels - 1)
+        in_window = (new_enthalpy >= min_enthalpy) & (new_enthalpy < max_enthalpy)
+        exponent = entropy[bin_id] - entropy[new_bin] + logp
+        accept = in_window & _accept_metropolis(k_acc, exponent)
+
+        occu = jnp.where(accept, occu_new, occu)
+        enthalpy = jnp.where(accept, new_enthalpy, enthalpy)
+        features = jnp.where(accept, features + dfeat, features)
+
+        # post-step: histogram/entropy/mean-feature updates at current state
+        cur_bin = jnp.clip(bin_of(enthalpy), 0, num_levels - 1)
+        cur_valid = (enthalpy >= min_enthalpy) & (enthalpy < max_enthalpy)
+        counter = counter + cur_valid.astype(jnp.int32)
+        total = occurrences[cur_bin]
+        new_mean = (features + total * mean_features[cur_bin]) / (total + 1)
+        mean_features = jnp.where(
+            cur_valid,
+            mean_features.at[cur_bin].set(new_mean),
+            mean_features,
+        )
+        do_update = cur_valid & (jnp.mod(counter, update_period) == 0)
+        entropy = jnp.where(
+            do_update, entropy.at[cur_bin].add(mod_factor), entropy
+        )
+        histogram = jnp.where(do_update, histogram.at[cur_bin].add(1), histogram)
+        occurrences = jnp.where(
+            do_update, occurrences.at[cur_bin].add(1), occurrences
+        )
+
+        # flatness check every check_period valid steps
+        do_check = cur_valid & (jnp.mod(counter, check_period) == 0)
+        visited = entropy > 0
+        nvisited = jnp.sum(visited)
+        hmean = jnp.sum(jnp.where(visited, histogram, 0)) / jnp.maximum(nvisited, 1)
+        flat = (nvisited >= 2) & jnp.all(
+            jnp.where(visited, histogram > flatness * hmean, True)
+        )
+        reset = do_check & flat
+        histogram = jnp.where(reset, jnp.zeros_like(histogram), histogram)
+        mod_factor = jnp.where(reset, mod_factor / mod_divisor, mod_factor)
+
+        return (occu, enthalpy, features, entropy, histogram, occurrences,
+                mean_features, mod_factor, counter, accept)
+
+    def step(state, key):
+        keys = jax.random.split(key, state["occupancy"].shape[0])
+        outs = jax.vmap(step_one)(
+            state["occupancy"], state["enthalpy"], state["features"],
+            state["entropy"], state["histogram"], state["occurrences"],
+            state["mean_features"], state["mod_factor"], state["wl_counter"],
+            keys,
+        )
+        (occu, enthalpy, features, entropy, histogram, occurrences,
+         mean_features, mod_factor, counter, accept) = outs
+        out = dict(state)
+        out.update(
+            occupancy=occu, enthalpy=enthalpy, features=features,
+            entropy=entropy, histogram=histogram, occurrences=occurrences,
+            mean_features=mean_features, mod_factor=mod_factor,
+            wl_counter=counter, accepted=accept,
+            naccept=state["naccept"] + accept.astype(jnp.int32),
+        )
+        return out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# chain driver
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("step_fn", "record_fn", "nsamples", "thin_by"))
+def run_chain(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
+    """Run nsamples * thin_by steps, recording a trace every thin_by.
+
+    Returns (final state, stacked traces pytree with leading axis nsamples).
+    """
+
+    def sample_body(carry, sample_key):
+        st = carry
+        st["window_naccept"] = jnp.zeros_like(st["naccept"])
+
+        def step_body(s, k):
+            s = step_fn(s, k)
+            s["window_naccept"] = s["window_naccept"] + s["accepted"].astype(
+                jnp.int32
+            )
+            return s, None
+
+        step_keys = jax.random.split(sample_key, thin_by)
+        st, _ = jax.lax.scan(step_body, st, step_keys)
+        return st, record_fn(st)
+
+    state = dict(state)
+    state["window_naccept"] = jnp.zeros_like(state["naccept"])
+    sample_keys = jax.random.split(key, nsamples)
+    state, traces = jax.lax.scan(sample_body, state, sample_keys)
+    state.pop("window_naccept", None)
+    return state, traces
