@@ -236,6 +236,27 @@ class MCKernel(ABC):
     def make_step_fn(self):
         """Build the pure batched step function state -> state."""
 
+    def _get_fast_tables(self):
+        """Fast-path tables when this kernel/usher supports them, else None.
+
+        Cached; kernels that support the zero-gather path override
+        ``_build_fast_tables``.
+        """
+        if not hasattr(self, "_fast_tables_cache"):
+            self._fast_tables_cache = self._build_fast_tables()
+        return self._fast_tables_cache
+
+    def _build_fast_tables(self):
+        return None
+
+    def state_occupancy(self, state):
+        """[W, N] int32 occupancies of a device state."""
+        if "words" in state:
+            from smol_tpu.ops.fastmc import unpack_occupancy
+
+            return unpack_occupancy(state["words"], self._ensemble.num_sites)
+        return state["occupancy"]
+
     def initial_state(self, occupancies) -> dict:
         """Batched walker state from [W, N] int32 occupancies."""
         import jax
@@ -248,11 +269,18 @@ class MCKernel(ABC):
         )
         enthalpy = feats @ self.natural_params
         state = {
-            "occupancy": jnp.asarray(occupancies),
             "enthalpy": jnp.asarray(enthalpy),
             "accepted": jnp.ones(nwalkers, dtype=bool),
             "naccept": jnp.zeros(nwalkers, dtype=jnp.int32),
         }
+        if self._get_fast_tables() is not None:
+            from smol_tpu.ops.fastmc import pack_occupancy
+
+            state["words"] = pack_occupancy(
+                jnp.asarray(occupancies), self._ensemble.num_sites
+            )
+        else:
+            state["occupancy"] = jnp.asarray(occupancies)
         if self.track_features:
             state["features"] = jnp.asarray(feats)
         return state
@@ -295,7 +323,7 @@ class ThermalKernelMixin:
         import jax.numpy as jnp
 
         state = super().initial_state(occupancies)
-        nwalkers = state["occupancy"].shape[0]
+        nwalkers = state["enthalpy"].shape[0]
         state["beta"] = jnp.full(nwalkers, self.beta, dtype=jnp.float64)
         return state
 

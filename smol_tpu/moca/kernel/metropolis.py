@@ -42,7 +42,41 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
             **kwargs,
         )
 
+    def _build_fast_tables(self):
+        """Zero-gather fast path for plain Flip/Swap Metropolis.
+
+        Applies when no features are tracked, no bias/priori factor is set,
+        and the usher is a plain Flip or Swap (see smol_tpu.ops.fastmc for
+        the applicability constraints: <= 16 codes/site, tensor size <= 128).
+        """
+        from smol_tpu.moca.kernel.mcusher import Flip, Swap
+        from smol_tpu.ops import fastmc
+
+        if self.track_features or self._bias is not None:
+            return None
+        if type(self.mcusher) not in (Flip, Swap):
+            return None
+        if self.mcusher.device_log_priori() is not None:
+            return None
+        tables = fastmc.build_fast_tables(
+            self._ensemble.processor,
+            self._ensemble.sublattices,
+            mu_table=self._ensemble.chemical_potential_table,
+            sublattice_probabilities=self.mcusher.sublattice_probabilities,
+        )
+        if tables is None:
+            return None
+        return (tables, "flip" if type(self.mcusher) is Flip else "swap")
+
     def make_step_fn(self):
+        from smol_tpu.ops import fastmc
+
+        fast = self._get_fast_tables()
+        if fast is not None:
+            tables, kind = fast
+            if kind == "flip":
+                return fastmc.make_fast_flip_step(tables)
+            return fastmc.make_fast_swap_step(tables)
         propose_fn, _ = self.mcusher.device_proposal()
         return devmc.make_metropolis_step(
             propose_fn, self._device_applier(), self._device_log_priori()

@@ -43,6 +43,10 @@ class Sampler:
         self._nwalkers = nwalkers
         self._state = None  # device state between runs
         self._container.metadata.kernels = [kernel.spec]
+        # cache compiled-function building blocks: rebuilding them creates
+        # new closures and would defeat jit caching across run() calls
+        self._step_fn = None
+        self._record_fns = {}
 
     @classmethod
     def from_ensemble(
@@ -148,8 +152,9 @@ class Sampler:
         is_wl = type(kernel).__name__ == "WangLandau"
 
         def record(state):
+            occupancy = kernel.state_occupancy(state)
             rec = {
-                "occupancy": state["occupancy"],
+                "occupancy": occupancy,
                 "enthalpy": state["enthalpy"],
                 "accepted": state["accepted"],
                 "accept_rate": state["window_naccept"] / thin_by,
@@ -158,7 +163,7 @@ class Sampler:
                 rec["features"] = state["features"]
             else:
                 # recompute exactly from occupancies: no accumulation drift
-                feats = jax.vmap(full_features)(state["occupancy"])
+                feats = jax.vmap(full_features)(occupancy)
                 rec["features"] = feats
                 rec["enthalpy"] = feats @ natural_params
             if "beta" in state:
@@ -256,8 +261,12 @@ class Sampler:
             samples_per_launch = max(
                 1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
             )
-        step_fn = self._kernel.make_step_fn()
-        record_fn = self._make_record_fn(thin_by)
+        if self._step_fn is None:
+            self._step_fn = self._kernel.make_step_fn()
+        step_fn = self._step_fn
+        if thin_by not in self._record_fns:
+            self._record_fns[thin_by] = self._make_record_fn(thin_by)
+        record_fn = self._record_fns[thin_by]
 
         backend = None
         if stream_chunk > 0:
@@ -311,8 +320,12 @@ class Sampler:
         from smol_tpu.ops.mc import run_chain
 
         self.setup_sample(initial_occupancies)
-        step_fn = self._kernel.make_step_fn()
-        record_fn = self._make_record_fn(thin_by)
+        if self._step_fn is None:
+            self._step_fn = self._kernel.make_step_fn()
+        step_fn = self._step_fn
+        if thin_by not in self._record_fns:
+            self._record_fns[thin_by] = self._make_record_fn(thin_by)
+        record_fn = self._record_fns[thin_by]
         key = jax.random.key(self._kernel.seed % (2**63))
         for _ in range(nsteps // thin_by):
             key, subkey = jax.random.split(key)
