@@ -292,7 +292,7 @@ class ThermalKernelMixin:
     _kB: float = kB
 
     def __init__(self, temperature, *args, **kwargs):
-        self.beta = 1.0 / (self.kB * temperature)
+        self.beta = 1.0 / (self.kB * np.asarray(temperature, dtype=np.float64))
         super().__init__(*args, **kwargs)
         self.temperature = temperature
 
@@ -307,12 +307,14 @@ class ThermalKernelMixin:
 
     @property
     def temperature(self):
-        return float(self.trace.temperature)
+        """Temperature (scalar, or per-walker array for tempering ladders)."""
+        t = np.asarray(self.trace.temperature)
+        return float(t) if t.ndim == 0 else t
 
     @temperature.setter
     def temperature(self, temperature):
         self.trace.temperature = np.array(temperature, dtype=np.float64)
-        self.beta = 1.0 / (self.kB * temperature)
+        self.beta = 1.0 / (self.kB * np.asarray(temperature, dtype=np.float64))
 
     def compute_initial_trace(self, occupancy):
         trace = super().compute_initial_trace(occupancy)
@@ -324,7 +326,9 @@ class ThermalKernelMixin:
 
         state = super().initial_state(occupancies)
         nwalkers = state["enthalpy"].shape[0]
-        state["beta"] = jnp.full(nwalkers, self.beta, dtype=jnp.float64)
+        state["beta"] = jnp.broadcast_to(
+            jnp.asarray(self.beta, dtype=jnp.float64), (nwalkers,)
+        )
         return state
 
 

@@ -27,7 +27,7 @@ __all__ = ["Sampler"]
 class Sampler:
     """Runs MCMC sampling simulations."""
 
-    def __init__(self, kernel, container, nwalkers=1):
+    def __init__(self, kernel, container, nwalkers=1, replica_exchange_period=None):
         """Initialize a Sampler.
 
         Prefer :meth:`from_ensemble`.
@@ -37,11 +37,15 @@ class Sampler:
                 all walkers — the TPU replica-batch design).
             container: a SampleContainer for the samples.
             nwalkers: number of vmapped walkers.
+            replica_exchange_period: if set, walkers form a parallel
+                tempering ensemble (pass an array ``temperature`` ladder to
+                the kernel) exchanging temperatures every this many steps.
         """
         self._kernel = kernel
         self._container = container
         self._nwalkers = nwalkers
         self._state = None  # device state between runs
+        self._replica_exchange_period = replica_exchange_period
         self._container.metadata.kernels = [kernel.spec]
         # cache compiled-function building blocks: rebuilding them creates
         # new closures and would defeat jit caching across run() calls
@@ -58,13 +62,16 @@ class Sampler:
         seeds=None,
         seed=None,
         nwalkers=1,
+        replica_exchange_period=None,
         **kwargs,
     ):
         """Create a Sampler from an Ensemble.
 
         Default step type is flip for semigrand (chemical potentials set)
         and swap for canonical ensembles, kernel type Metropolis — matching
-        the reference defaults (sampler.py:94-104).
+        the reference defaults (sampler.py:94-104).  Pass an array
+        ``temperature`` ladder plus ``replica_exchange_period`` for parallel
+        tempering.
         """
         from smol_tpu.moca.kernel import mckernel_factory
 
@@ -80,7 +87,12 @@ class Sampler:
             kernel_type, ensemble, step_type, *args, seed=seed, **kwargs
         )
         container = cls._empty_container(ensemble, kernel, nwalkers)
-        return cls(kernel, container, nwalkers=nwalkers)
+        return cls(
+            kernel,
+            container,
+            nwalkers=nwalkers,
+            replica_exchange_period=replica_exchange_period,
+        )
 
     @staticmethod
     def _empty_container(ensemble, kernel, nwalkers):
@@ -194,6 +206,10 @@ class Sampler:
                     f"expected {self._nwalkers}."
                 )
         self._state = self._kernel.initial_state(occupancies)
+        if self._replica_exchange_period is not None:
+            import jax.numpy as jnp
+
+            self._state["pt_counter"] = jnp.zeros((), dtype=jnp.int32)
         return self._state
 
     def run(
@@ -262,7 +278,14 @@ class Sampler:
                 1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
             )
         if self._step_fn is None:
-            self._step_fn = self._kernel.make_step_fn()
+            step_fn = self._kernel.make_step_fn()
+            if self._replica_exchange_period is not None:
+                from smol_tpu.parallel.tempering import make_tempering_step
+
+                step_fn = make_tempering_step(
+                    step_fn, self._replica_exchange_period
+                )
+            self._step_fn = step_fn
         step_fn = self._step_fn
         if thin_by not in self._record_fns:
             self._record_fns[thin_by] = self._make_record_fn(thin_by)
@@ -321,7 +344,14 @@ class Sampler:
 
         self.setup_sample(initial_occupancies)
         if self._step_fn is None:
-            self._step_fn = self._kernel.make_step_fn()
+            step_fn = self._kernel.make_step_fn()
+            if self._replica_exchange_period is not None:
+                from smol_tpu.parallel.tempering import make_tempering_step
+
+                step_fn = make_tempering_step(
+                    step_fn, self._replica_exchange_period
+                )
+            self._step_fn = step_fn
         step_fn = self._step_fn
         if thin_by not in self._record_fns:
             self._record_fns[thin_by] = self._make_record_fn(thin_by)
