@@ -1,0 +1,439 @@
+"""TableFlip usher: constrained (e.g. charge-neutral) composition moves.
+
+Mirrors the reference TableFlip (smol/moca/kernel/mcusher.py:397-711): flip
+directions come from a CompositionSpace flip table; sites are selected
+per-sublattice without replacement; detailed balance is restored with a
+combinatorial a-priori factor (gammaln terms + selection-probability ratio).
+
+The device implementation is fully jittable: masked categorical direction
+choice, Gumbel-top-k site selection without replacement, and a gammaln
+priori factor — vectorized over walkers.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from smol_tpu.moca.kernel.mcusher import MCUsher, Swap
+from smol_tpu.moca.composition.space import CompositionSpace
+from smol_tpu.moca.occu_utils import (
+    delta_counts_from_step,
+    get_dim_ids_by_sublattice,
+    get_dim_ids_table,
+    occu_to_counts,
+    occu_to_species_list,
+)
+from smol_tpu.serial import jsanitize
+from smol_tpu.utils.math import (
+    NUM_TOL,
+    choose_section_from_partition,
+    flip_weights_mask,
+)
+
+__all__ = ["TableFlip"]
+
+
+class TableFlip(MCUsher):
+    """Composition flips from a (charge-neutral) flip table."""
+
+    def __init__(
+        self,
+        sublattices,
+        rng=None,
+        flip_table=None,
+        charge_balanced=True,
+        other_constraints=None,
+        optimize_basis=False,
+        table_ergodic=False,
+        flip_weights=None,
+        swap_weight=0.1,
+    ):
+        """Initialize TableFlip.
+
+        Args:
+            sublattices: ALL sublattices (active and inactive).
+            flip_table: optional [n_flips, D] array of flip vectors in
+                "counts" format; computed from a CompositionSpace when absent.
+            charge_balanced: add the charge-neutrality constraint.
+            other_constraints: extra constraints for the CompositionSpace.
+            optimize_basis / table_ergodic: see CompositionSpace.
+            flip_weights: per-direction weights (len n_flips or 2*n_flips).
+            swap_weight: probability of attempting a canonical swap instead.
+        """
+        super().__init__(sublattices, rng=rng)
+        self.bits = [list(sl.species) for sl in self.sublattices]
+        self.dim_ids = get_dim_ids_by_sublattice(self.bits)
+        sizes = np.array([len(sl.sites) for sl in self.sublattices], dtype=int)
+        self.supercell_size = int(np.gcd.reduce(sizes))
+        self.sublattice_sizes = (sizes // self.supercell_size).tolist()
+        self.max_n = [
+            len(sl.active_sites) for sl in self.sublattices for _ in sl.species
+        ]
+        self.d = len(self.max_n)
+
+        self._comp_space = CompositionSpace(
+            self.bits,
+            self.sublattice_sizes,
+            charge_neutral=charge_balanced,
+            other_constraints=other_constraints,
+            optimize_basis=optimize_basis,
+            table_ergodic=table_ergodic,
+        )
+        if flip_table is not None:
+            self.flip_table = np.array(flip_table, dtype=int)
+        else:
+            self.flip_table = self._comp_space.flip_table
+        self.swap_weight = swap_weight
+
+        if flip_weights is None:
+            self.flip_weights = np.ones(len(self.flip_table) * 2)
+        elif len(flip_weights) == len(self.flip_table):
+            self.flip_weights = np.repeat(flip_weights, 2)
+        elif len(flip_weights) == 2 * len(self.flip_table):
+            self.flip_weights = np.array(flip_weights)
+        else:
+            raise ValueError(
+                f"{len(flip_weights)} weights provided; need 1x or 2x of "
+                f"{len(self.flip_table)} flip vectors!"
+            )
+
+        self._swapper = Swap(self.sublattices, rng=rng)
+        self._dim_ids_table = get_dim_ids_table(self.sublattices, active_only=True)
+        self._dim_ids_full = get_dim_ids_table(self.sublattices, active_only=False)
+
+        self.spec.flip_table = self.flip_table.tolist()
+        self.spec.flip_weights = self.flip_weights.tolist()
+        self.spec.other_constraints = jsanitize(other_constraints)
+        self.spec.charge_balanced = charge_balanced
+        self.spec.optimize_basis = optimize_basis
+        self.spec.table_ergodic = table_ergodic
+        self.spec.swap_weight = swap_weight
+
+    # ---------------- host path ----------------
+
+    def propose_step(self, occupancy):
+        """Propose a table flip (reference mcusher.py:553-639)."""
+        rng = self._rng
+        if rng.random() < self.swap_weight:
+            return self._swapper.propose_step(occupancy)
+
+        species_list = occu_to_species_list(occupancy, self.d, self._dim_ids_table)
+        species_n = [len(sites) for sites in species_list]
+        species_list_full = occu_to_species_list(
+            occupancy, self.d, self._dim_ids_full
+        )
+        species_n_full = [len(sites) for sites in species_list_full]
+
+        if not np.allclose(
+            self._comp_space._A @ np.array(species_n_full),
+            self._comp_space._b * self.supercell_size,
+        ):
+            warnings.warn(
+                "Current occupancy violates CompositionSpace constraints! "
+                "Are you initializing trace?"
+            )
+            mask = np.zeros(2 * len(self.flip_table), dtype=int)
+        else:
+            mask = flip_weights_mask(
+                self.flip_table, species_n, self.max_n
+            ).astype(int)
+        masked_weights = self.flip_weights * mask
+        if np.any(masked_weights <= -NUM_TOL):
+            raise ValueError(f"Masked weights {masked_weights} negative!")
+        if np.allclose(masked_weights, 0):
+            if not np.allclose(occupancy, 0):
+                warnings.warn(
+                    "Current occupancy is not ergodic! Will do canonical swap only!"
+                )
+            return self._swapper.propose_step(occupancy)
+
+        idx = choose_section_from_partition(masked_weights, rng=rng)
+        u = self.flip_table[idx // 2]
+        if idx % 2 == 1:
+            u = -u
+
+        step = []
+        for sublatt, dim_ids in zip(self.sublattices, self.dim_ids):
+            if not sublatt.is_active:
+                continue
+            site_ids = []
+            dim_ids = np.array(dim_ids, dtype=int)
+            u_sl = u[dim_ids]
+            dims_from = dim_ids[u_sl < 0]
+            dims_to = dim_ids[u_sl > 0]
+            codes_to = sublatt.encoding[u_sl > 0]
+            for d in dims_from:
+                site_ids.extend(
+                    rng.choice(
+                        species_list[d], size=-u[d], replace=False
+                    ).tolist()
+                )
+            for d, code in zip(dims_to, codes_to):
+                for site_id in rng.choice(site_ids, size=u[d], replace=False):
+                    step.append((int(site_id), int(code)))
+                    site_ids.remove(site_id)
+            assert len(site_ids) == 0
+        return step
+
+    def _get_flip_id(self, occupancy, step):
+        """Identify which table flip (and direction) a step corresponds to."""
+        dn = delta_counts_from_step(occupancy, step, self.d, self._dim_ids_table)
+        if np.allclose(dn, 0):
+            return -1, 0
+        for fid, v in enumerate(self.flip_table):
+            if np.allclose(v, dn):
+                return fid, 0
+            if np.allclose(-v, dn):
+                return fid, 1
+        return None, None
+
+    def compute_log_priori_factor(self, occupancy, step) -> float:
+        """Detailed-balance log factor (reference mcusher.py:656-711)."""
+        from scipy.special import gammaln
+
+        fid, direction = self._get_flip_id(occupancy, step)
+        if fid is None:
+            raise ValueError(f"Step {step} is not in flip table.")
+        if fid < 0:
+            return 0.0
+
+        u = (1 - 2 * direction) * self.flip_table[fid]
+        n_now = occu_to_counts(occupancy, self.d, self._dim_ids_table)
+        mask_now = flip_weights_mask(self.flip_table, n_now, self.max_n).astype(int)
+        weights_now = self.flip_weights * mask_now
+        p_now = (
+            (1 - self.swap_weight)
+            * weights_now[fid * 2 + direction]
+            / weights_now.sum()
+        )
+        n_next = n_now + u
+        mask_next = flip_weights_mask(
+            self.flip_table, n_next, self.max_n
+        ).astype(int)
+        weights_next = self.flip_weights * mask_next
+        p_next = (
+            (1 - self.swap_weight)
+            * weights_next[fid * 2 + (1 - direction)]
+            / weights_next.sum()
+        )
+        log_factor = np.log(p_next / p_now)
+        for dim in np.nonzero(~np.isclose(u, 0))[0]:
+            log_factor += gammaln(n_now[dim] + 1) - gammaln(n_next[dim] + 1)
+        return float(log_factor)
+
+    # ---------------- device path ----------------
+
+    def device_proposal(self):
+        """Pure proposal: masked direction categorical + Gumbel-top-k sites."""
+        import jax
+        import jax.numpy as jnp
+
+        flips = jnp.asarray(self.flip_table)  # [F, D]
+        directions = np.concatenate(
+            [(u, -u) for u in self.flip_table], axis=0
+        )  # [2F, D]
+        dirs = jnp.asarray(directions)
+        weights = jnp.asarray(self.flip_weights)
+        max_n = jnp.asarray(np.array(self.max_n, dtype=np.int64))
+        dims_table = jnp.asarray(self._dim_ids_table)  # [n_sites, C]
+        swap_fn, _ = self._swapper.device_proposal()
+        swap_weight = self.swap_weight
+        d_total = self.d
+        # static per-sublattice data with fixed slot offsets: each active
+        # sublattice owns a contiguous slot range wide enough for the largest
+        # flip touching it (slots across sublattices must not collide)
+        sub_data = []
+        pos = 0
+        for sublatt, dim_ids in zip(self.sublattices, self.dim_ids):
+            if not sublatt.is_active:
+                continue
+            dim_arr = np.array(dim_ids, dtype=int)
+            sl_width = int(
+                max(
+                    int(-np.sum(dvec[dim_arr][dvec[dim_arr] < 0]))
+                    for dvec in directions
+                )
+            )
+            sub_data.append(
+                (
+                    jnp.asarray(sublatt.active_sites.astype(np.int32)),
+                    dim_arr,
+                    np.array(sublatt.encoding, dtype=int),
+                    pos,
+                )
+            )
+            pos += sl_width
+        width = max(pos, 2)  # >= 2 so swap steps fit
+        # per-dim max pick count
+        kmax = int(np.max(np.abs(directions)))
+
+        def propose(key, occu):
+            k_mode, k_dir, k_sel, k_swap, k_assign = jax.random.split(key, 5)
+            # counts of each dim among active sites
+            dims = dims_table[jnp.arange(occu.shape[0]), occu]  # [N]
+            counts = (
+                jnp.zeros(d_total + 1, dtype=jnp.int64)
+                .at[jnp.where(dims >= 0, dims, d_total)]
+                .add(1)[:-1]
+            )
+            feasible = ~(
+                jnp.any(dirs + counts[None, :] < 0, axis=1)
+                | jnp.any(dirs + counts[None, :] > max_n[None, :], axis=1)
+            )
+            w = weights * feasible
+            total = w.sum()
+            any_flip = total > 0
+            # categorical over directions
+            cdf = jnp.cumsum(w) / jnp.where(total > 0, total, 1.0)
+            idx = jnp.searchsorted(cdf, jax.random.uniform(k_dir), side="right")
+            idx = jnp.clip(idx, 0, dirs.shape[0] - 1)
+            u_vec = dirs[idx]  # [D]
+
+            sites = jnp.zeros(width, dtype=jnp.int32)
+            codes = jnp.zeros(width, dtype=jnp.int32)
+            valid = jnp.zeros(width, dtype=bool)
+            for act, dim_ids, encoding, pos in sub_data:
+                n_act = act.shape[0]
+                occ_act = occu[act]  # [A]
+                gumbel = -jnp.log(
+                    -jnp.log(
+                        jax.random.uniform(
+                            jax.random.fold_in(k_sel, pos), (n_act,)
+                        )
+                    )
+                )
+                # pool: for each from-dim pick |u_d| occupied sites
+                pool_sites = jnp.zeros(width, dtype=jnp.int32)
+                pool_fill = jnp.zeros(width, dtype=bool)
+                fill = 0
+                kk = min(kmax, int(n_act))
+                for local_code, d in enumerate(dim_ids):
+                    k_d = jnp.maximum(-u_vec[d], 0)  # picks from this dim
+                    mask = occ_act == encoding[local_code]
+                    scores = jnp.where(mask, gumbel, -jnp.inf)
+                    _, top_idx = jax.lax.top_k(scores, kk)
+                    for j in range(kk):
+                        take = j < k_d
+                        slot = jnp.clip(fill + j, 0, width - 1)
+                        pool_sites = jnp.where(
+                            take & (jnp.arange(width) == slot),
+                            act[top_idx[j]],
+                            pool_sites,
+                        )
+                        pool_fill = jnp.where(
+                            take & (jnp.arange(width) == slot), True, pool_fill
+                        )
+                    fill = fill + k_d
+                # random assignment of pool to destination codes:
+                # permute pool slots uniformly
+                perm_scores = jax.random.uniform(
+                    jax.random.fold_in(k_assign, pos), (width,)
+                )
+                perm_scores = jnp.where(pool_fill, perm_scores, -jnp.inf)
+                order = jnp.argsort(-perm_scores)  # filled slots first, shuffled
+                shuffled = pool_sites[order]
+                assign = 0
+                for local_code, d in enumerate(dim_ids):
+                    k_d = jnp.maximum(u_vec[d], 0)  # placements into this dim
+                    for j in range(kmax):
+                        take = j < k_d
+                        slot = jnp.clip(assign + j, 0, width - 1)
+                        site_j = shuffled[slot]
+                        out_slot = pos + slot
+                        sites = jnp.where(
+                            take & (jnp.arange(width) == out_slot),
+                            site_j,
+                            sites,
+                        )
+                        codes = jnp.where(
+                            take & (jnp.arange(width) == out_slot),
+                            encoding[local_code],
+                            codes,
+                        )
+                        valid = jnp.where(
+                            take & (jnp.arange(width) == out_slot), True, valid
+                        )
+                    assign = assign + k_d
+
+            valid = valid & any_flip
+            # swap fallback / swap mixing
+            s_sites, s_codes, s_valid, _ = swap_fn(k_swap, occu)
+            use_swap = (jax.random.uniform(k_mode) < swap_weight) | ~any_flip
+            pad = width - s_sites.shape[0]
+            s_sites = jnp.pad(s_sites, (0, pad))
+            s_codes = jnp.pad(s_codes, (0, pad))
+            s_valid = jnp.pad(s_valid, (0, pad))
+            sites = jnp.where(use_swap, s_sites, sites)
+            codes = jnp.where(use_swap, s_codes, codes)
+            valid = jnp.where(use_swap, s_valid, valid)
+            return sites, codes, valid, jnp.float64(0.0)
+
+        return propose, width
+
+    def device_log_priori(self):
+        """Pure gammaln detailed-balance factor for the accepted step shape."""
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.special import gammaln
+
+        flips = jnp.asarray(self.flip_table)  # [F, D]
+        directions = np.concatenate([(u, -u) for u in self.flip_table], axis=0)
+        dirs = jnp.asarray(directions)  # [2F, D]
+        weights = jnp.asarray(self.flip_weights)
+        max_n = jnp.asarray(np.array(self.max_n, dtype=np.int64))
+        dims_table = jnp.asarray(self._dim_ids_table)
+        swap_weight = self.swap_weight
+        d_total = self.d
+
+        def log_priori(occu, sites, codes, valid):
+            # delta counts of the step
+            dims_old = dims_table[sites, occu[sites]]
+            dims_new = dims_table[sites, codes]
+            seg_old = jnp.where(valid, dims_old, d_total)
+            seg_new = jnp.where(valid, dims_new, d_total)
+            dn = (
+                jnp.zeros(d_total + 1)
+                .at[seg_new]
+                .add(1.0)
+                .at[seg_old]
+                .add(-1.0)[:-1]
+            )
+            is_swap = jnp.all(dn == 0)
+            # which direction matches dn
+            match = jnp.all(dirs == dn[None, :], axis=1)  # [2F]
+            dir_idx = jnp.argmax(match)
+            inv_idx = jnp.where(dir_idx % 2 == 0, dir_idx + 1, dir_idx - 1)
+
+            dims = dims_table[jnp.arange(occu.shape[0]), occu]
+            counts = (
+                jnp.zeros(d_total + 1, dtype=jnp.int64)
+                .at[jnp.where(dims >= 0, dims, d_total)]
+                .add(1)[:-1]
+            )
+
+            def mask_weights(n):
+                feas = ~(
+                    jnp.any(dirs + n[None, :] < 0, axis=1)
+                    | jnp.any(dirs + n[None, :] > max_n[None, :], axis=1)
+                )
+                return weights * feas
+
+            w_now = mask_weights(counts)
+            n_next = counts + dn.astype(counts.dtype)
+            w_next = mask_weights(n_next)
+            p_now = w_now[dir_idx] / w_now.sum()
+            p_next = w_next[inv_idx] / w_next.sum()
+            log_factor = jnp.log(p_next / p_now)
+            nz = dn != 0
+            log_factor = log_factor + jnp.sum(
+                jnp.where(
+                    nz,
+                    gammaln(counts + 1.0) - gammaln(n_next + 1.0),
+                    0.0,
+                )
+            )
+            return jnp.where(is_swap, 0.0, log_factor)
+
+        return log_priori
