@@ -23,6 +23,10 @@ __all__ = ["ClusterExpansionProcessor", "ClusterDecompositionProcessor"]
 class _PackedProcessor(Processor):
     """Shared packing + device-data plumbing for CE/CD processors."""
 
+    # the zero-gather fast path may fold this processor's energy tables
+    # (subclasses that redefine the property semantics must disable this)
+    fast_path_ok = True
+
     def _setup_packed(self):
         self._packed = pack_supercell(self._subspace, self._scmatrix)
         self._dp = dev.to_device(self._packed)

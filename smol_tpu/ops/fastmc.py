@@ -75,6 +75,8 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     supported on the fast path), <= 16 codes per site, tensor sizes <= 128,
     and default (arange) sublattice encodings.
     """
+    if not getattr(processor, "fast_path_ok", False):
+        return None
     packed = getattr(processor, "packed", None)
     energy_flat = getattr(processor, "_energy_flat", None)
     energy_weights = getattr(processor, "_energy_weights", None)
