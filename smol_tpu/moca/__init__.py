@@ -8,6 +8,11 @@ from smol_tpu.moca.processor.expansion import (
     ClusterDecompositionProcessor,
     ClusterExpansionProcessor,
 )
+from smol_tpu.moca.composition.space import CompositionSpace
+from smol_tpu.moca.processor.distance import (
+    ClusterInteractionDistanceProcessor,
+    CorrelationDistanceProcessor,
+)
 from smol_tpu.moca.sampler.container import SampleContainer
 from smol_tpu.moca.sampler.sampler import Sampler
 from smol_tpu.moca.sublattice import Sublattice
@@ -22,4 +27,7 @@ __all__ = [
     "Sublattice",
     "Sampler",
     "SampleContainer",
+    "CompositionSpace",
+    "CorrelationDistanceProcessor",
+    "ClusterInteractionDistanceProcessor",
 ]
