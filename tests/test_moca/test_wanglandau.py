@@ -1,0 +1,107 @@
+"""Wang-Landau tests: DOS estimation vs exact degeneracies."""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from smol_tpu.benchmarks.systems import fcc_binary_prim
+from smol_tpu.cofe import ClusterSubspace
+from smol_tpu.cofe.expansion import ClusterExpansion
+from smol_tpu.moca import Ensemble, Sampler
+
+
+@pytest.fixture(scope="module")
+def wl_setup():
+    # NN-pair-only CE: discrete energy spectrum, exactly countable DOS
+    prim = fcc_binary_prim()
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 2.8})
+    coefs = np.zeros(cs.num_corr_functions)
+    coefs[-1] = 0.1  # NN pair only
+    ce = ClusterExpansion(cs, coefs)
+    scm = np.diag([2, 2, 2])
+    ens = Ensemble.from_cluster_expansion(
+        ce, scm, chemical_potentials={"Au": 0.0, "Cu": 0.0}
+    )
+    # exact enthalpies over all 256 configs
+    energies = []
+    for bits in product((0, 1), repeat=8):
+        occ = np.array(bits, dtype=np.int32)
+        energies.append(
+            float(ens.compute_feature_vector(occ) @ ens.natural_parameters)
+        )
+    return ens, np.array(energies)
+
+
+def test_wang_landau_dos(wl_setup):
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels, counts = np.unique(np.round(exact_energies, 9), return_counts=True)
+    bin_size = (levels[1] - levels[0]) if len(levels) > 1 else 0.1
+
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        flatness=0.7,
+        check_period=250,
+        nwalkers=4,
+        seed=9,
+    )
+    rng = np.random.default_rng(0)
+    occu = rng.integers(0, 2, (4, 8)).astype(np.int32)
+    sampler.run(200000, occu, thin_by=2000)
+    samples = sampler.samples
+
+    entropy = samples.get_trace_value("entropy", flat=False)[-1]  # [W, L]
+    histogram = samples.get_trace_value("histogram", flat=False)[-1]
+    mod_factor = samples.get_trace_value("mod_factor", flat=False)[-1]
+    # mod factor decreased (flatness achieved at least once)
+    assert np.all(mod_factor < 1.0)
+
+    # DOS estimate vs exact degeneracies, per walker
+    exact_bins = np.floor(
+        (exact_energies - (e_min - bin_size / 2)) / bin_size
+    ).astype(int)
+    n_levels = entropy.shape[1]
+    exact_dos = np.zeros(n_levels)
+    for b in exact_bins:
+        exact_dos[b] += 1
+    visited = exact_dos > 0
+    for w in range(entropy.shape[0]):
+        s = entropy[w]
+        assert np.all(s[visited] > 0), "not all levels visited"
+        # relative DOS: normalize both to the ground-state bin
+        est = s[visited] - s[visited][0]
+        ref = np.log(exact_dos[visited]) - np.log(exact_dos[visited][0])
+        # WL converges log-DOS to within ~ the final mod factor scale
+        assert np.max(np.abs(est - ref)) < 0.5, (est, ref)
+    # entropy only accumulated inside the window
+    assert np.all(entropy[:, ~visited][:, exact_dos[~visited] == 0] >= 0)
+
+
+def test_wang_landau_host_kernel_matches(wl_setup):
+    """Host single-walker WL path runs and accumulates a histogram."""
+    from smol_tpu.moca.kernel.wanglandau import WangLandau
+
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    kernel = WangLandau(
+        ens,
+        "flip",
+        min_enthalpy=e_min - 0.05,
+        max_enthalpy=e_max + 0.1,
+        bin_size=0.1,
+        seed=3,
+    )
+    occu = np.zeros(8, dtype=np.int32)
+    kernel.set_aux_state(occu)
+    for _ in range(2000):
+        kernel.single_step(occu)
+    # histogram may have been reset by a flatness check; entropy persists
+    assert kernel.entropy.sum() > 0
+    assert len(kernel.levels) >= 2
+    assert len(kernel.dos) == len(kernel.levels)
