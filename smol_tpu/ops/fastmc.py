@@ -66,14 +66,12 @@ class FastTables:
     sub_of_rank: jnp.ndarray = field(default=None)  # unused placeholder
 
 
-def build_fast_tables(processor, sublattices, mu_table=None,
-                      sublattice_probabilities=None):
-    """Build FastTables from a packed processor, or None when unsupported.
+def site_local_arrays(processor):
+    """Raw per-site local-cluster arrays of a packed processor.
 
-    Requirements: processor exposes ``packed``/``_energy_flat``/
-    ``_energy_weights`` (or is a composite of such + Ewald is NOT yet
-    supported on the fast path), <= 16 codes per site, tensor sizes <= 128,
-    and default (arange) sublattice encodings.
+    Returns (sites [N, L, K], strides [N, L, K], d2 [N, L],
+    g [N, L, Tmax] f64 coefficient-folded energy tables, tmax) or None when
+    the processor does not expose packed energy tables.
     """
     if not getattr(processor, "fast_path_ok", False):
         return None
@@ -82,29 +80,16 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     energy_weights = getattr(processor, "_energy_weights", None)
     if packed is None or energy_flat is None:
         return None
-
-    active = [s for s in sublattices if s.is_active]
-    if not active:
-        return None
-    for s in active:
-        if not np.array_equal(s.encoding, np.arange(len(s.encoding))):
-            return None
-
     n = packed.num_sites
     lc = packed.local_clusters
     L = lc.shape[1]
     K = packed.cluster_sites.shape[1]
     tmax = int(packed.orbit_tensor_size.max())
-    if tmax > MAX_TENSOR:
-        return None
-
     valid = lc >= 0
     lc_safe = np.where(valid, lc, 0)
-    sss = (packed.cluster_sites[lc_safe] * valid[:, :, None]).reshape(n, L * K)
-    sst = (packed.cluster_strides[lc_safe] * valid[:, :, None]).reshape(n, L * K)
+    sites = packed.cluster_sites[lc_safe] * valid[:, :, None]
+    strides = packed.cluster_strides[lc_safe] * valid[:, :, None]
     orb = packed.cluster_orbit[lc_safe]
-
-    # coefficient-folded per-(site, slot) energy tables
     g = np.zeros((n, L, tmax))
     off = packed.orbit_offset
     ts_all = packed.orbit_tensor_size
@@ -113,12 +98,9 @@ def build_fast_tables(processor, sublattices, mu_table=None,
             if valid[i, l]:
                 o = orb[i, l]
                 ts = int(ts_all[o])
-                g[i, l, :ts] = energy_weights[o] * energy_flat[off[o]: off[o] + ts]
-    g = g.reshape(n, L * tmax)
-    g_hi = g.astype(np.float32)
-    g_lo = (g - g_hi.astype(np.float64)).astype(np.float32)
-
-    # stride of site i within each of its local slots (handles repeats)
+                g[i, l, :ts] = (
+                    energy_weights[o] * energy_flat[off[o]: off[o] + ts]
+                )
     d2 = np.zeros((n, L))
     cs, cst = packed.cluster_sites, packed.cluster_strides
     for i in range(n):
@@ -128,6 +110,41 @@ def build_fast_tables(processor, sublattices, mu_table=None,
                 d2[i, l] = sum(
                     cst[c, k] for k in range(K) if cs[c, k] == i and cst[c, k] > 0
                 )
+    return sites, strides, d2, g, tmax
+
+
+def build_fast_tables(processor, sublattices, mu_table=None,
+                      sublattice_probabilities=None):
+    """Build FastTables from a packed processor, or None when unsupported.
+
+    Requirements: processor exposes ``packed``/``_energy_flat``/
+    ``_energy_weights`` (or is a composite of such + Ewald is NOT yet
+    supported on the fast path), <= 16 codes per site, tensor sizes <= 128,
+    and default (arange) sublattice encodings.
+    """
+    arrays = site_local_arrays(processor)
+    if arrays is None:
+        return None
+    sites3, strides3, d2, g3, tmax = arrays
+    packed = processor.packed
+    n = packed.num_sites
+    L = sites3.shape[1]
+    K = sites3.shape[2]
+    if tmax > MAX_TENSOR:
+        return None
+
+    active = [s for s in sublattices if s.is_active]
+    if not active:
+        return None
+    for s in active:
+        if not np.array_equal(s.encoding, np.arange(len(s.encoding))):
+            return None
+
+    sss = sites3.reshape(n, L * K)
+    sst = strides3.reshape(n, L * K)
+    g = g3.reshape(n, L * tmax)
+    g_hi = g.astype(np.float32)
+    g_lo = (g - g_hi.astype(np.float64)).astype(np.float32)
 
     n_codes = np.ones(n, dtype=np.int32)
     for s in sublattices:
@@ -189,7 +206,8 @@ def pack_occupancy(occu, num_sites: int) -> jnp.ndarray:
         occu = jnp.pad(occu, ((0, 0), (0, pad)))
     shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8) * 4
     bits = occu << shifts[None, :]
-    return bits.reshape(occu.shape[0], nw, 8).sum(axis=2)
+    # keep uint32: jnp.sum would promote unsigned ints to uint64 under x64
+    return bits.reshape(occu.shape[0], nw, 8).sum(axis=2, dtype=jnp.uint32)
 
 
 def unpack_occupancy(words, num_sites: int) -> jnp.ndarray:
