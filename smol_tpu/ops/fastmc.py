@@ -221,7 +221,8 @@ def _read_site_code(words, site, iota_w):
     """Code at a dynamic site: compare-select word + shift (no gather)."""
     sw = (site >> 3).astype(jnp.uint32)
     word = jnp.sum(
-        jnp.where(sw[:, None] == iota_w[None, :], words, jnp.uint32(0)), axis=1
+        jnp.where(sw[:, None] == iota_w[None, :], words, jnp.uint32(0)),
+        axis=1, dtype=jnp.uint32,
     )
     return ((word >> ((site.astype(jnp.uint32) & 7) * 4)) & 15).astype(jnp.int32), word
 
