@@ -56,10 +56,17 @@ def coord_list_mapping_pbc(subset, superset, atol=1e-8) -> np.ndarray:
     Each subset row must match exactly one superset row modulo lattice
     translations. Mirrors pymatgen.util.coord.coord_list_mapping_pbc as used
     by the reference's supercell orbit-index generation
-    (smol/cofe/space/clusterspace.py:1350).
+    (smol/cofe/space/clusterspace.py:1350).  Uses the native C++/OpenMP
+    kernel when available (smol_tpu/utils/native.py).
     """
     sub = np.atleast_2d(np.asarray(subset, dtype=np.float64))
     sup = np.atleast_2d(np.asarray(superset, dtype=np.float64))
+    if len(sub) * len(sup) > 200_000:  # native pays off on large problems
+        from smol_tpu.utils import native
+
+        result = native.coord_list_mapping_pbc(sub, sup, atol)
+        if result is not None:
+            return result
     # chunk over subset rows to bound memory for very large inputs
     out = np.empty(len(sub), dtype=np.int64)
     chunk = max(1, int(4e7) // max(1, len(sup)))

@@ -134,6 +134,19 @@ class EwaldSummation:
         images = np.stack(np.meshgrid(*ranges, indexing="ij"), axis=-1).reshape(-1, 3)
         img_cart = images @ lattice.matrix  # [m, 3]
 
+        from smol_tpu.utils import native
+
+        native_sums = native.ewald_real_sums(
+            self._coords, img_cart, self._sqrt_eta, self._rmax
+        )
+        if native_sums is not None:
+            # native kernel skips coincident (zero-distance) pairs entirely;
+            # those entries are never read by physical kernels
+            qq = np.outer(self._charges, self._charges)
+            real = 0.5 * CONV_FACT * qq * native_sums
+            point = -CONV_FACT * self._charges**2 * np.sqrt(self._eta / np.pi)
+            return real, point
+
         real = np.zeros((n, n), dtype=np.float64)
         # chunk over i to bound memory: d[i, j, m]
         chunk = max(1, int(2e7) // (n * len(images)) + 1)
