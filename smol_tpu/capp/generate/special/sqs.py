@@ -30,6 +30,22 @@ from smol_tpu.moca.processor.distance import (
 
 SQS = namedtuple("SQS", ["structure", "score", "feature_distance", "supercell_matrix"])
 
+
+def _step_tracking_best(base_step, st, key):
+    import jax.numpy as jnp
+
+    st = dict(base_step(st, key))
+    better = st["enthalpy"] < st["best_enthalpy"]
+    st["best_enthalpy"] = jnp.where(better, st["enthalpy"], st["best_enthalpy"])
+    st["best_occupancy"] = jnp.where(
+        better[:, None], st["occupancy"], st["best_occupancy"]
+    )
+    return st
+
+
+def _record_best(st):
+    return {"best": st["best_enthalpy"]}
+
 __all__ = ["SQS", "SQSGenerator", "StochasticSQSGenerator"]
 
 
@@ -117,6 +133,13 @@ class SQSGenerator(ABC):
             if not all(p.size == supercell_size for p in processors):
                 raise ValueError("processors must have the generator's size")
             self._processors = list(processors)
+
+        # pad every shape's local tables to the group maximum so all shapes
+        # share one XLA compilation of the annealing step (ops/mc.py)
+        lmax = max(p.packed.local_clusters.shape[1] for p in self._processors)
+        lpmax = max(p.packed.local_pairs.shape[1] for p in self._processors)
+        for p in self._processors:
+            p.repad_local_tables(lmax, lpmax)
 
     @classmethod
     def from_structure(
@@ -302,22 +325,12 @@ class StochasticSQSGenerator(SQSGenerator):
             state["best_enthalpy"] = state["enthalpy"]
             state["best_occupancy"] = state["occupancy"]
 
-            base_step = kernel.make_step_fn()
-
-            def step_with_best(st, key):
-                st = base_step(st, key)
-                better = st["enthalpy"] < st["best_enthalpy"]
-                st = dict(st)
-                st["best_enthalpy"] = jnp.where(
-                    better, st["enthalpy"], st["best_enthalpy"]
-                )
-                st["best_occupancy"] = jnp.where(
-                    better[:, None], st["occupancy"], st["best_occupancy"]
-                )
-                return st
-
-            def record(st):
-                return {"best": st["best_enthalpy"]}
+            # Partial-wrapped so all same-size supercell shapes share one
+            # XLA compilation (see ops/mc.py run_chain)
+            step_with_best = jax.tree_util.Partial(
+                _step_tracking_best, kernel.make_step_fn()
+            )
+            record = jax.tree_util.Partial(_record_best)
 
             key = jax.random.key(int(rng.integers(2**31)))
             for temp in temperatures:

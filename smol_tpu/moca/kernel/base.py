@@ -29,6 +29,24 @@ from smol_tpu.utils.class_utils import class_name_from_str, get_subclasses
 __all__ = ["MCKernel", "ThermalKernelMixin", "ALL_MCUSHERS", "ALL_BIAS"]
 
 
+def _sum_log_priori(fns, occu, sites, codes, valid):
+    total = 0.0
+    for f in fns:
+        total = total + f(occu, sites, codes, valid)
+    return total
+
+
+def _features_no_mu(feat_fn, occu):
+    return feat_fn(occu, None)
+
+
+def _features_with_mu(feat_fn, mu, occu):
+    import jax.numpy as jnp
+
+    work = jnp.sum(mu[jnp.arange(occu.shape[0]), occu])
+    return jnp.concatenate([feat_fn(occu, None), jnp.atleast_1d(work)])
+
+
 def _all_mcushers():
     return list(get_subclasses(MCUsher).keys())
 
@@ -200,37 +218,28 @@ class MCKernel(ABC):
 
     def _device_log_priori(self):
         """Combined usher priori + bias change pure function (or None)."""
+        from jax.tree_util import Partial
+
         usher_fn = self.mcusher.device_log_priori()
         bias_fn = None if self._bias is None else self._bias.device_delta_fn()
-        if usher_fn is None and bias_fn is None:
+        fns = [f for f in (usher_fn, bias_fn) if f is not None]
+        if not fns:
             return None
-
-        def fn(occu, sites, codes, valid):
-            total = 0.0
-            if usher_fn is not None:
-                total = total + usher_fn(occu, sites, codes, valid)
-            if bias_fn is not None:
-                total = total + bias_fn(occu, sites, codes, valid)
-            return total
-
-        return fn
+        if len(fns) == 1:
+            return fns[0]
+        return Partial(_sum_log_priori, tuple(fns))
 
     def full_features_fn(self):
         """Pure (occu) -> full feature vector incl. chemical work."""
         import jax.numpy as jnp
+        from jax.tree_util import Partial
 
         processor = self._ensemble.processor
         feat_fn = processor.features_fn
         mu_table = self._ensemble.chemical_potential_table
         if mu_table is None:
-            return lambda occu: feat_fn(occu, None)
-        mu = jnp.asarray(mu_table)
-
-        def fn(occu):
-            work = jnp.sum(mu[jnp.arange(occu.shape[0]), occu])
-            return jnp.concatenate([feat_fn(occu, None), jnp.atleast_1d(work)])
-
-        return fn
+            return Partial(_features_no_mu, feat_fn)
+        return Partial(_features_with_mu, feat_fn, jnp.asarray(mu_table))
 
     @abstractmethod
     def make_step_fn(self):

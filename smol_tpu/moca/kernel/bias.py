@@ -13,6 +13,8 @@ from math import log
 
 import numpy as np
 
+from jax.tree_util import Partial
+
 from smol_tpu.cofe.space.domain import get_species
 from smol_tpu.moca.metadata import Metadata
 from smol_tpu.utils.class_utils import (
@@ -20,6 +22,47 @@ from smol_tpu.utils.class_utils import (
     derived_class_factory,
     get_subclasses_str,
 )
+
+def _generic_bias_delta(bias_fn, occu, sites, codes, valid):
+    import jax.numpy as jnp
+
+    safe = jnp.where(valid, codes, occu[sites])
+    occu_next = occu.at[sites].set(safe)
+    return bias_fn(occu_next) - bias_fn(occu)
+
+
+def _fugacity_bias(log_table, occu):
+    import jax.numpy as jnp
+
+    return jnp.sum(log_table[jnp.arange(occu.shape[0]), occu])
+
+
+def _fugacity_delta(log_table, occu, sites, codes, valid):
+    import jax.numpy as jnp
+
+    # apply sequentially so repeated sites use the last flip only
+    safe = jnp.where(valid, codes, occu[sites])
+    occu_next = occu.at[sites].set(safe)
+    old = log_table[sites, occu[sites]]
+    new = log_table[sites, occu_next[sites]]
+    return jnp.sum(jnp.where(valid, new - old, 0.0))
+
+
+def _square_charge_bias(table, penalty, occu):
+    import jax.numpy as jnp
+
+    c = jnp.sum(table[jnp.arange(occu.shape[0]), occu])
+    return -penalty * c**2
+
+
+def _hyperplane_bias(table, A, b, penalty, occu):
+    import jax.numpy as jnp
+
+    d = A.shape[1]
+    dims = table[jnp.arange(occu.shape[0]), occu]
+    counts = jnp.zeros(d + 1).at[jnp.where(dims >= 0, dims, d)].add(1.0)[:-1]
+    return -penalty * jnp.sum((A @ counts - b) ** 2)
+
 
 __all__ = [
     "MCBias",
@@ -61,16 +104,7 @@ class MCBias(ABC):
 
     def device_delta_fn(self):
         """Pure (occu, sites, codes, valid) -> bias change f64."""
-        import jax.numpy as jnp
-
-        bias_fn = self.device_bias_fn()
-
-        def fn(occu, sites, codes, valid):
-            safe = jnp.where(valid, codes, occu[sites])
-            occu_next = occu.at[sites].set(safe)
-            return bias_fn(occu_next) - bias_fn(occu)
-
-        return fn
+        return Partial(_generic_bias_delta, self.device_bias_fn())
 
 
 class FugacityBias(MCBias):
@@ -138,28 +172,13 @@ class FugacityBias(MCBias):
     def device_bias_fn(self):
         import jax.numpy as jnp
 
-        log_table = jnp.asarray(np.log(self._fu_table))
-
-        def fn(occu):
-            return jnp.sum(log_table[jnp.arange(occu.shape[0]), occu])
-
-        return fn
+        return Partial(_fugacity_bias, jnp.asarray(np.log(self._fu_table)))
 
     def device_delta_fn(self):
         """Table-lookup delta (cheaper than two full evaluations)."""
         import jax.numpy as jnp
 
-        log_table = jnp.asarray(np.log(self._fu_table))
-
-        def fn(occu, sites, codes, valid):
-            # apply sequentially so repeated sites use the last flip only
-            safe = jnp.where(valid, codes, occu[sites])
-            occu_next = occu.at[sites].set(safe)
-            old = log_table[sites, occu[sites]]
-            new = log_table[sites, occu_next[sites]]
-            return jnp.sum(jnp.where(valid, new - old, 0.0))
-
-        return fn
+        return Partial(_fugacity_delta, jnp.asarray(np.log(self._fu_table)))
 
 
 class SquareChargeBias(MCBias):
@@ -186,14 +205,11 @@ class SquareChargeBias(MCBias):
     def device_bias_fn(self):
         import jax.numpy as jnp
 
-        table = jnp.asarray(self._c_table)
-        penalty = self.penalty
-
-        def fn(occu):
-            c = jnp.sum(table[jnp.arange(occu.shape[0]), occu])
-            return -penalty * c**2
-
-        return fn
+        return Partial(
+            _square_charge_bias,
+            jnp.asarray(self._c_table),
+            jnp.float64(self.penalty),
+        )
 
 
 class SquareHyperplaneBias(MCBias):
@@ -234,18 +250,13 @@ class SquareHyperplaneBias(MCBias):
     def device_bias_fn(self):
         import jax.numpy as jnp
 
-        table = jnp.asarray(self._dim_ids_table)
-        A = jnp.asarray(self._A)
-        b = jnp.asarray(self._b)
-        penalty = self.penalty
-        d = self.d
-
-        def fn(occu):
-            dims = table[jnp.arange(occu.shape[0]), occu]
-            counts = jnp.zeros(d + 1).at[jnp.where(dims >= 0, dims, d)].add(1.0)[:-1]
-            return -penalty * jnp.sum((A @ counts - b) ** 2)
-
-        return fn
+        return Partial(
+            _hyperplane_bias,
+            jnp.asarray(self._dim_ids_table),
+            jnp.asarray(self._A),
+            jnp.asarray(self._b),
+            jnp.float64(self.penalty),
+        )
 
 
 def mcbias_factory(bias_type, sublattices, *args, **kwargs):

@@ -14,6 +14,16 @@ from smol_tpu.ops import mc as devmc
 __all__ = ["Metropolis", "UniformlyRandom"]
 
 
+def _zero_beta_step(metro_step, state, key):
+    import jax.numpy as jnp
+
+    st = dict(state)
+    st["beta"] = jnp.zeros_like(state["enthalpy"])
+    st = metro_step(st, key)
+    st.pop("beta", None)
+    return st
+
+
 class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
     """The classic Metropolis-Hastings kernel."""
 
@@ -103,24 +113,19 @@ class UniformlyRandom(MCKernel):
         return self.trace.accepted
 
     def make_step_fn(self):
+        from jax.tree_util import Partial
+
         propose_fn, _ = self.mcusher.device_proposal()
         log_priori = self._device_log_priori()
         if log_priori is None:
             return devmc.make_uniform_step(propose_fn, self._device_applier())
         # with a bias/priori factor an accept test is still required at beta=0
-
-        def zero_beta_step(state, key):
-            import jax.numpy as jnp
-
-            st = dict(state)
-            st["beta"] = jnp.zeros_like(state["enthalpy"])
-            st = devmc.make_metropolis_step(
+        return Partial(
+            _zero_beta_step,
+            devmc.make_metropolis_step(
                 propose_fn, self._device_applier(), log_priori
-            )(st, key)
-            st.pop("beta", None)
-            return st
-
-        return zero_beta_step
+            ),
+        )
 
     def initial_state(self, occupancies) -> dict:
         return super().initial_state(occupancies)

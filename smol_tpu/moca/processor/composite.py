@@ -8,11 +8,31 @@ coefficients; scalar MC energy deltas sum over sub-processors.
 from __future__ import annotations
 
 import numpy as np
+from jax.tree_util import Partial
 
 from smol_tpu.moca.processor.base import Processor
 from smol_tpu.serial import process_decoded
 
 __all__ = ["CompositeProcessor"]
+
+
+def _concat_features(fns, occu, data):
+    import jax.numpy as jnp
+
+    return jnp.concatenate([f(occu, data) for f in fns])
+
+
+def _concat_delta_features(fns, occu, site, code, data):
+    import jax.numpy as jnp
+
+    return jnp.concatenate([f(occu, site, code, data) for f in fns])
+
+
+def _sum_delta_energy(fns, occu, site, code, data):
+    total = 0.0
+    for f in fns:
+        total = total + f(occu, site, code, data)
+    return total
 
 
 class CompositeProcessor(Processor):
@@ -59,37 +79,22 @@ class CompositeProcessor(Processor):
 
     @property
     def features_fn(self):
-        import jax.numpy as jnp
-
-        fns = [p.features_fn for p in self._processors]
-
-        def fn(occu, data):
-            return jnp.concatenate([f(occu, data) for f in fns])
-
-        return fn
+        return Partial(
+            _concat_features, tuple(p.features_fn for p in self._processors)
+        )
 
     @property
     def delta_features_fn(self):
-        import jax.numpy as jnp
-
-        fns = [p.delta_features_fn for p in self._processors]
-
-        def fn(occu, site, code, data):
-            return jnp.concatenate([f(occu, site, code, data) for f in fns])
-
-        return fn
+        return Partial(
+            _concat_delta_features,
+            tuple(p.delta_features_fn for p in self._processors),
+        )
 
     @property
     def delta_energy_fn(self):
-        fns = [p.delta_energy_fn for p in self._processors]
-
-        def fn(occu, site, code, data):
-            total = 0.0
-            for f in fns:
-                total = total + f(occu, site, code, data)
-            return total
-
-        return fn
+        return Partial(
+            _sum_delta_energy, tuple(p.delta_energy_fn for p in self._processors)
+        )
 
     def as_dict(self) -> dict:
         d = super().as_dict()

@@ -15,9 +15,11 @@ cannot shortcut the L1 distance, as the reference notes, evaluator.pyx:329).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from itertools import chain
 
 import numpy as np
+from jax.tree_util import Partial
 
 from smol_tpu.moca.processor.expansion import (
     ClusterDecompositionProcessor,
@@ -26,6 +28,39 @@ from smol_tpu.moca.processor.expansion import (
 from smol_tpu.serial import process_decoded
 
 __all__ = ["CorrelationDistanceProcessor", "ClusterInteractionDistanceProcessor"]
+
+
+@lru_cache(maxsize=None)
+def _distance_features_impl(use_match: bool, size: float, match_tol: float):
+    import jax.numpy as jnp
+
+    def fn(base_fn, target, idx_pad, msk_pad, diams, occu, data):
+        dist = jnp.abs(base_fn(occu, data) / size - target)
+        if use_match:
+            vals = dist[idx_pad]  # [G, max_g]
+            matched = jnp.all(
+                jnp.where(msk_pad, vals <= match_tol, True), axis=1
+            )
+            cummatched = jnp.cumprod(matched.astype(jnp.float64))
+            ell = jnp.max(diams * cummatched, initial=0.0)
+            dist = dist.at[0].set(ell)
+        else:
+            dist = dist.at[0].set(0.0)
+        return dist
+
+    return fn
+
+
+def _distance_delta_energy(feat_fn, coefs, occu, site, code, data):
+    d_i = coefs @ feat_fn(occu, data)
+    occu_f = occu.at[site].set(code)
+    d_f = coefs @ feat_fn(occu_f, data)
+    return d_f - d_i
+
+
+def _distance_delta_features(feat_fn, occu, site, code, data):
+    occu_f = occu.at[site].set(code)
+    return feat_fn(occu_f, data) - feat_fn(occu, data)
 
 
 class _DistanceMixin:
@@ -103,10 +138,6 @@ class _DistanceMixin:
     def _distance_features_fn(self, base_features_fn):
         import jax.numpy as jnp
 
-        target = jnp.asarray(self.target_vector)
-        size = float(self.size)
-        match_tol = self.match_tol
-        use_match = self.coefs[0] != 0
         max_g = max(len(idx) for _, idx in self._diameter_groups)
         idx_pad = np.zeros((len(self._diameter_groups), max_g), dtype=np.int64)
         msk_pad = np.zeros((len(self._diameter_groups), max_g), dtype=bool)
@@ -115,51 +146,30 @@ class _DistanceMixin:
             idx_pad[g, : len(indices)] = indices
             msk_pad[g, : len(indices)] = True
             diams[g] = diameter
-        idx_pad = jnp.asarray(idx_pad)
-        msk_pad = jnp.asarray(msk_pad)
-        diams = jnp.asarray(diams)
-
-        def fn(occu, data):
-            dist = jnp.abs(base_features_fn(occu, data) / size - target)
-            if use_match:
-                vals = dist[idx_pad]  # [G, max_g]
-                matched = jnp.all(
-                    jnp.where(msk_pad, vals <= match_tol, True), axis=1
-                )
-                cummatched = jnp.cumprod(matched.astype(jnp.float64))
-                ell = jnp.max(diams * cummatched, initial=0.0)
-                dist = dist.at[0].set(ell)
-            else:
-                dist = dist.at[0].set(0.0)
-            return dist
-
-        return fn
+        impl = _distance_features_impl(
+            bool(self.coefs[0] != 0), float(self.size), float(self.match_tol)
+        )
+        return Partial(
+            impl,
+            base_features_fn,
+            jnp.asarray(self.target_vector),
+            jnp.asarray(idx_pad),
+            jnp.asarray(msk_pad),
+            jnp.asarray(diams),
+        )
 
     @property
     def delta_energy_fn(self):
         """Scalar distance change of a flip: two full evaluations."""
         import jax.numpy as jnp
 
-        feat_fn = self.features_fn
-        coefs = jnp.asarray(self.coefs)
-
-        def fn(occu, site, code, data):
-            d_i = coefs @ feat_fn(occu, data)
-            occu_f = occu.at[site].set(code)
-            d_f = coefs @ feat_fn(occu_f, data)
-            return d_f - d_i
-
-        return fn
+        return Partial(
+            _distance_delta_energy, self.features_fn, jnp.asarray(self.coefs)
+        )
 
     @property
     def delta_features_fn(self):
-        feat_fn = self.features_fn
-
-        def fn(occu, site, code, data):
-            occu_f = occu.at[site].set(code)
-            return feat_fn(occu_f, data) - feat_fn(occu, data)
-
-        return fn
+        return Partial(_distance_delta_features, self.features_fn)
 
     def as_dict(self) -> dict:
         d = super().as_dict()

@@ -8,6 +8,7 @@ via the device row-delta kernel.
 from __future__ import annotations
 
 import numpy as np
+from jax.tree_util import Partial
 
 from smol_tpu.cofe.extern.ewald import EwaldTerm
 from smol_tpu.crystal.ewald import EwaldSummation
@@ -16,6 +17,24 @@ from smol_tpu.ops import ewald as dev_ewald
 from smol_tpu.serial import process_decoded
 
 __all__ = ["EwaldProcessor"]
+
+
+def _ewald_features(matrix, inds, occu, data):  # noqa: ARG001
+    import jax.numpy as jnp
+
+    return jnp.atleast_1d(dev_ewald.ewald_energy(occu, matrix, inds))
+
+
+def _ewald_delta_features(matrix, inds, occu, site, code, data):  # noqa: ARG001
+    import jax.numpy as jnp
+
+    return jnp.atleast_1d(
+        dev_ewald.delta_ewald_single_flip(occu, site, code, matrix, inds)
+    )
+
+
+def _ewald_delta_energy(matrix, inds, coef, occu, site, code, data):  # noqa: ARG001
+    return coef * dev_ewald.delta_ewald_single_flip(occu, site, code, matrix, inds)
 
 
 class EwaldProcessor(Processor):
@@ -88,41 +107,31 @@ class EwaldProcessor(Processor):
             occu[site] = code
         return np.array([delta])
 
-    @property
-    def features_fn(self):
-        matrix, inds = self.ewald_matrix, self._ewald_inds
-
-        def fn(occu, data):  # noqa: ARG001
+    def _dev_tables(self):
+        if not hasattr(self, "_dev_cache"):
             import jax.numpy as jnp
 
-            return jnp.atleast_1d(dev_ewald.ewald_energy(occu, matrix, inds))
+            self._dev_cache = (
+                jnp.asarray(self.ewald_matrix),
+                jnp.asarray(self._ewald_inds),
+            )
+        return self._dev_cache
 
-        return fn
+    @property
+    def features_fn(self):
+        return Partial(_ewald_features, *self._dev_tables())
 
     @property
     def delta_features_fn(self):
-        matrix, inds = self.ewald_matrix, self._ewald_inds
-
-        def fn(occu, site, code, data):  # noqa: ARG001
-            import jax.numpy as jnp
-
-            return jnp.atleast_1d(
-                dev_ewald.delta_ewald_single_flip(occu, site, code, matrix, inds)
-            )
-
-        return fn
+        return Partial(_ewald_delta_features, *self._dev_tables())
 
     @property
     def delta_energy_fn(self):
-        matrix, inds = self.ewald_matrix, self._ewald_inds
-        coef = float(self.coefs[0])
+        import jax.numpy as jnp
 
-        def fn(occu, site, code, data):  # noqa: ARG001
-            return coef * dev_ewald.delta_ewald_single_flip(
-                occu, site, code, matrix, inds
-            )
-
-        return fn
+        return Partial(
+            _ewald_delta_energy, *self._dev_tables(), jnp.float64(self.coefs[0])
+        )
 
     def as_dict(self) -> dict:
         d = super().as_dict()

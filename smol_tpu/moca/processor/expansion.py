@@ -10,7 +10,10 @@ the cheapest local update.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+from jax.tree_util import Partial
 
 from smol_tpu.moca.processor.base import Processor
 from smol_tpu.ops import correlations as dev
@@ -18,6 +21,56 @@ from smol_tpu.ops.packing import pack_interactions, pack_supercell
 from smol_tpu.serial import process_decoded
 
 __all__ = ["ClusterExpansionProcessor", "ClusterDecompositionProcessor"]
+
+
+# Module-level device functions with data bound via jax.tree_util.Partial:
+# processors that differ only in table *values* (e.g. the supercell shapes
+# of an SQS search) produce steps with identical treedefs, sharing one XLA
+# compilation (see smol_tpu/ops/mc.py run_chain).
+
+
+def _packed_delta_energy(dp, flat, weights, occu, site, code, data):  # noqa: ARG001
+    return dev.delta_energy_single_flip(occu, site, code, dp, flat, weights)
+
+
+@lru_cache(maxsize=None)
+def _ce_features_fn(num_corr: int, size: float):
+    def fn(dp, occu, data):  # noqa: ARG001
+        return dev.corr_from_occupancy(occu, dp, num_corr) * size
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _ce_delta_features_fn(num_corr: int, size: float):
+    def fn(dp, occu, site, code, data):  # noqa: ARG001
+        return dev.delta_corr_single_flip(occu, site, code, dp, num_corr) * size
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _cd_features_fn(num_orbits: int, size: float):
+    def fn(dp, inter_flat, offset, occu, data):  # noqa: ARG001
+        return (
+            dev.interactions_from_occupancy(occu, dp, inter_flat, offset, num_orbits)
+            * size
+        )
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _cd_delta_features_fn(num_orbits: int, size: float):
+    def fn(dp, inter_flat, occu, site, code, data):  # noqa: ARG001
+        return (
+            dev.delta_interactions_single_flip(
+                occu, site, code, dp, inter_flat, num_orbits
+            )
+            * size
+        )
+
+    return fn
 
 
 class _PackedProcessor(Processor):
@@ -47,18 +100,44 @@ class _PackedProcessor(Processor):
         """The PackedSupercell (host arrays)."""
         return self._packed
 
+    def repad_local_tables(self, lmax=None, lpmax=None):
+        """Re-pad the per-site local tables to the given widths (-1 fill).
+
+        Processors padded to common widths produce identical device-table
+        shapes, so different supercell shapes of the same size share one
+        XLA compilation of the MC step (see ops/mc.py run_chain).
+        """
+        import dataclasses
+
+        def pad(arr, width):
+            if width is None or width <= arr.shape[1]:
+                return arr
+            out = np.full((arr.shape[0], width), -1, dtype=arr.dtype)
+            out[:, : arr.shape[1]] = arr
+            return out
+
+        new_lc = pad(self._packed.local_clusters, lmax)
+        new_lp = pad(self._packed.local_pairs, lpmax)
+        if (
+            new_lc is self._packed.local_clusters
+            and new_lp is self._packed.local_pairs
+        ):
+            return
+        self._packed = dataclasses.replace(
+            self._packed, local_clusters=new_lc, local_pairs=new_lp
+        )
+        self._dp = dev.to_device(self._packed)
+
     @property
     def delta_energy_fn(self):
-        energy_flat = self._energy_flat
-        energy_weights = self._energy_weights
-        dp = self._dp
+        if not hasattr(self, "_energy_dev"):
+            import jax.numpy as jnp
 
-        def fn(occu, site, code, data):  # noqa: ARG001 (data unused; closures)
-            return dev.delta_energy_single_flip(
-                occu, site, code, dp, energy_flat, energy_weights
+            self._energy_dev = (
+                jnp.asarray(self._energy_flat),
+                jnp.asarray(self._energy_weights),
             )
-
-        return fn
+        return Partial(_packed_delta_energy, self._dp, *self._energy_dev)
 
 
 class ClusterExpansionProcessor(_PackedProcessor):
@@ -121,21 +200,16 @@ class ClusterExpansionProcessor(_PackedProcessor):
 
     @property
     def features_fn(self):
-        dp, num_corr, size = self._dp, self._packed.num_corr, float(self.size)
-
-        def fn(occu, data):  # noqa: ARG001
-            return dev.corr_from_occupancy(occu, dp, num_corr) * size
-
-        return fn
+        return Partial(
+            _ce_features_fn(self._packed.num_corr, float(self.size)), self._dp
+        )
 
     @property
     def delta_features_fn(self):
-        dp, num_corr, size = self._dp, self._packed.num_corr, float(self.size)
-
-        def fn(occu, site, code, data):  # noqa: ARG001
-            return dev.delta_corr_single_flip(occu, site, code, dp, num_corr) * size
-
-        return fn
+        return Partial(
+            _ce_delta_features_fn(self._packed.num_corr, float(self.size)),
+            self._dp,
+        )
 
     @classmethod
     def from_dict(cls, d):
@@ -222,31 +296,24 @@ class ClusterDecompositionProcessor(_PackedProcessor):
 
     @property
     def features_fn(self):
-        dp, inter_flat = self._dp, self._inter_flat
-        offset, num_orbits, size = self._offset, self._packed.num_orbits, float(self.size)
+        import jax.numpy as jnp
 
-        def fn(occu, data):  # noqa: ARG001
-            return (
-                dev.interactions_from_occupancy(occu, dp, inter_flat, offset, num_orbits)
-                * size
-            )
-
-        return fn
+        return Partial(
+            _cd_features_fn(self._packed.num_orbits, float(self.size)),
+            self._dp,
+            jnp.asarray(self._inter_flat),
+            jnp.float64(self._offset),
+        )
 
     @property
     def delta_features_fn(self):
-        dp, inter_flat = self._dp, self._inter_flat
-        num_orbits, size = self._packed.num_orbits, float(self.size)
+        import jax.numpy as jnp
 
-        def fn(occu, site, code, data):  # noqa: ARG001
-            return (
-                dev.delta_interactions_single_flip(
-                    occu, site, code, dp, inter_flat, num_orbits
-                )
-                * size
-            )
-
-        return fn
+        return Partial(
+            _cd_delta_features_fn(self._packed.num_orbits, float(self.size)),
+            self._dp,
+            jnp.asarray(self._inter_flat),
+        )
 
     def as_dict(self) -> dict:
         d = super().as_dict()

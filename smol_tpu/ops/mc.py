@@ -19,16 +19,26 @@ Structure:
 - kernel step builders (Metropolis / UniformlyRandom / WangLandau) producing
   ``step(state, key) -> state`` over the batched walker state.
 - :func:`run_chain`: scan nsamples x thin_by steps, recording thinned traces.
+
+Compile-sharing design: every factory returns a :class:`jax.tree_util.Partial`
+whose *function* has stable identity (module-level or ``lru_cache``'d on the
+static configuration) and whose shape-specific arrays are bound pytree
+leaves.  :func:`run_chain` passes such step functions as *traced* arguments,
+so systems that differ only in table values (e.g. the many supercell shapes
+of an SQS search, or the cells of a multicell kernel) share one XLA
+compilation.  Factories fall back to plain closures (compiled per instance)
+when handed non-Partial callables.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import Partial
 
 __all__ = [
     "sublattice_tables",
@@ -49,9 +59,8 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class SublatticeTables:
-    """Padded device arrays describing active sublattices."""
+class SublatticeTables(NamedTuple):
+    """Padded device arrays describing active sublattices (a pytree)."""
 
     active_sites: jnp.ndarray  # [S, A] int32, padded 0
     n_active: jnp.ndarray  # [S] int32
@@ -106,82 +115,66 @@ def _choose_sublattice(key, tables: SublatticeTables):
 # ---------------------------------------------------------------------------
 
 
-def make_flip_proposal(tables: SublatticeTables):
+def _flip_propose(tables, key, occu):
     """Single-site flip to a different random allowed species (Flip usher)."""
-
-    def propose(key, occu):
-        k_sl, k_site, k_code = jax.random.split(key, 3)
-        sl = _choose_sublattice(k_sl, tables)
-        i = jax.random.randint(k_site, (), 0, tables.n_active[sl])
-        site = tables.active_sites[sl, i]
-        cur = occu[site]
-        codes = tables.encodings[sl]
-        pos = jnp.argmax(codes == cur)
-        j = jax.random.randint(k_code, (), 0, tables.n_codes[sl] - 1)
-        j = j + (j >= pos)
-        code = codes[j]
-        return (
-            jnp.array([site], dtype=jnp.int32),
-            jnp.array([code], dtype=jnp.int32),
-            jnp.array([True]),
-            jnp.float64(0.0),
-        )
-
-    return propose
+    k_sl, k_site, k_code = jax.random.split(key, 3)
+    sl = _choose_sublattice(k_sl, tables)
+    i = jax.random.randint(k_site, (), 0, tables.n_active[sl])
+    site = tables.active_sites[sl, i]
+    cur = occu[site]
+    codes = tables.encodings[sl]
+    pos = jnp.argmax(codes == cur)
+    j = jax.random.randint(k_code, (), 0, tables.n_codes[sl] - 1)
+    j = j + (j >= pos)
+    code = codes[j]
+    return (
+        jnp.array([site], dtype=jnp.int32),
+        jnp.array([code], dtype=jnp.int32),
+        jnp.array([True]),
+        jnp.float64(0.0),
+    )
 
 
-def make_swap_proposal(tables: SublatticeTables):
+def make_flip_proposal(tables: SublatticeTables):
+    """Single-site flip proposal (Flip usher)."""
+    return Partial(_flip_propose, tables)
+
+
+def _swap_propose(tables, key, occu):
     """Canonical two-site swap within one sublattice (Swap usher).
 
     Site 2 is uniform among active sites whose occupancy differs from
     site 1's (reference mcusher.py:176-200); the step is empty when no such
     site exists.
     """
-
-    def propose(key, occu):
-        k_sl, k1, k2 = jax.random.split(key, 3)
-        sl = _choose_sublattice(k_sl, tables)
-        i = jax.random.randint(k1, (), 0, tables.n_active[sl])
-        site1 = tables.active_sites[sl, i]
-        sp1 = occu[site1]
-        act = tables.active_sites[sl]  # [A]
-        in_range = jnp.arange(act.shape[0]) < tables.n_active[sl]
-        mask = in_range & (occu[act] != sp1)
-        count = jnp.sum(mask)
-        m = jax.random.randint(k2, (), 0, jnp.maximum(count, 1))
-        cum = jnp.cumsum(mask)
-        site2 = act[jnp.argmax(mask & (cum == m + 1))]
-        has = count > 0
-        sites = jnp.array([site1, site2], dtype=jnp.int32)
-        codes = jnp.stack([occu[site2], sp1]).astype(jnp.int32)
-        return sites, codes, jnp.array([has, has]), jnp.float64(0.0)
-
-    return propose
+    k_sl, k1, k2 = jax.random.split(key, 3)
+    sl = _choose_sublattice(k_sl, tables)
+    i = jax.random.randint(k1, (), 0, tables.n_active[sl])
+    site1 = tables.active_sites[sl, i]
+    sp1 = occu[site1]
+    act = tables.active_sites[sl]  # [A]
+    in_range = jnp.arange(act.shape[0]) < tables.n_active[sl]
+    mask = in_range & (occu[act] != sp1)
+    count = jnp.sum(mask)
+    m = jax.random.randint(k2, (), 0, jnp.maximum(count, 1))
+    cum = jnp.cumsum(mask)
+    site2 = act[jnp.argmax(mask & (cum == m + 1))]
+    has = count > 0
+    sites = jnp.array([site1, site2], dtype=jnp.int32)
+    codes = jnp.stack([occu[site2], sp1]).astype(jnp.int32)
+    return sites, codes, jnp.array([has, has]), jnp.float64(0.0)
 
 
-def make_multistep_proposal(base_propose, base_width, step_lengths, step_probabilities=None):
-    """Chain several base proposals into one step (MultiStep usher).
+def make_swap_proposal(tables: SublatticeTables):
+    """Canonical two-site swap proposal (Swap usher)."""
+    return Partial(_swap_propose, tables)
 
-    A sub-step is dropped when any of its sites was already touched,
-    matching reference mcusher.py:286-304.
 
-    Args:
-        base_propose: single-step proposal function.
-        base_width: number of flips a base proposal emits.
-        step_lengths: sequence of possible step lengths.
-        step_probabilities: optional probabilities over step_lengths.
-    """
-    lengths = np.atleast_1d(np.asarray(step_lengths, dtype=np.int64))
-    max_len = int(lengths.max())
-    if step_probabilities is None:
-        probs = np.full(len(lengths), 1.0 / len(lengths))
-    else:
-        probs = np.asarray(step_probabilities, dtype=np.float64)
-    cum_probs = jnp.asarray(np.cumsum(probs))
-    lengths_arr = jnp.asarray(lengths)
+@lru_cache(maxsize=None)
+def _multistep_fn(max_len: int, base_width: int):
     total = max_len * base_width
 
-    def propose(key, occu):
+    def propose(base_propose, lengths_arr, cum_probs, key, occu):
         k_len, key = jax.random.split(key)
         u = jax.random.uniform(k_len)
         length = lengths_arr[jnp.searchsorted(cum_probs, u, side="right")]
@@ -195,7 +188,9 @@ def make_multistep_proposal(base_propose, base_width, step_lengths, step_probabi
             in_length = step_i < length
             # drop the sub-step if any of its sites was already used by a
             # previous (valid) sub-step (reference mcusher.py:296-301)
-            touched = jnp.any(valid[None, :] & (sites[None, :] == s_sites[:, None]))
+            touched = jnp.any(
+                valid[None, :] & (sites[None, :] == s_sites[:, None])
+            )
             keep = in_length & ~touched
             s_valid = s_valid & keep
             off = step_i * base_width
@@ -208,15 +203,29 @@ def make_multistep_proposal(base_propose, base_width, step_lengths, step_probabi
     return propose
 
 
-def make_composite_proposal(proposals, widths, probabilities=None):
-    """Mix several proposal types with given probabilities (Composite usher)."""
-    n = len(proposals)
-    if probabilities is None:
-        probs = np.full(n, 1.0 / n)
+def make_multistep_proposal(base_propose, base_width, step_lengths, step_probabilities=None):
+    """Chain several base proposals into one step (MultiStep usher).
+
+    A sub-step is dropped when any of its sites was already touched,
+    matching reference mcusher.py:286-304.
+    """
+    lengths = np.atleast_1d(np.asarray(step_lengths, dtype=np.int64))
+    max_len = int(lengths.max())
+    if step_probabilities is None:
+        probs = np.full(len(lengths), 1.0 / len(lengths))
     else:
-        probs = np.asarray(probabilities, dtype=np.float64)
-        probs = probs / probs.sum()
-    cum = jnp.asarray(np.cumsum(probs))
+        probs = np.asarray(step_probabilities, dtype=np.float64)
+    fn = _multistep_fn(max_len, int(base_width))
+    return Partial(
+        fn,
+        _as_partial(base_propose),
+        jnp.asarray(lengths),
+        jnp.asarray(np.cumsum(probs)),
+    )
+
+
+@lru_cache(maxsize=None)
+def _composite_fn(widths: tuple):
     width = max(widths)
 
     def pad(sites, codes, valid, w):
@@ -229,7 +238,7 @@ def make_composite_proposal(proposals, widths, probabilities=None):
             jnp.pad(valid, (0, padn)),
         )
 
-    def propose(key, occu):
+    def propose(proposals, cum, key, occu):
         k_pick, k_prop = jax.random.split(key)
         u = jax.random.uniform(k_pick)
         which = jnp.searchsorted(cum, u, side="right")
@@ -246,6 +255,30 @@ def make_composite_proposal(proposals, widths, probabilities=None):
     return propose
 
 
+def make_composite_proposal(proposals, widths, probabilities=None):
+    """Mix several proposal types with given probabilities (Composite usher)."""
+    n = len(proposals)
+    if probabilities is None:
+        probs = np.full(n, 1.0 / n)
+    else:
+        probs = np.asarray(probabilities, dtype=np.float64)
+        probs = probs / probs.sum()
+    fn = _composite_fn(tuple(int(w) for w in widths))
+    return Partial(
+        fn, tuple(_as_partial(p) for p in proposals), jnp.asarray(np.cumsum(probs))
+    )
+
+
+def _as_partial(fn):
+    """Wrap a plain callable so it can ride in a Partial pytree.
+
+    A Partial is returned unchanged (its bound arrays stay traced data); a
+    plain closure is wrapped with no bound args — correct, but its identity
+    becomes part of the treedef, so such steps compile per closure instance.
+    """
+    return fn if isinstance(fn, Partial) else Partial(fn)
+
+
 def _apply_flips(occu, sites, codes, valid):
     """Apply masked flips (scatter; invalid flips write their current value)."""
     safe_codes = jnp.where(valid, codes, occu[sites])
@@ -255,6 +288,38 @@ def _apply_flips(occu, sites, codes, valid):
 # ---------------------------------------------------------------------------
 # step application: sequential flips + enthalpy / feature deltas
 # ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _applier_fn(has_mu: bool, num_features: int):
+    """Step applier body; ``num_features < 0`` means no feature tracking."""
+    has_features = num_features >= 0
+
+    def apply(de_fn, df_fn, mu, occu, sites, codes, valid):
+        n_flips = sites.shape[0]
+        dh = jnp.float64(0.0)
+        dfeat = (
+            jnp.zeros(num_features, dtype=jnp.float64) if has_features else None
+        )
+        for i in range(n_flips):
+            site, code, v = sites[i], codes[i], valid[i]
+            de = de_fn(occu, site, code, None)
+            if has_mu:
+                dwork = mu[site, code] - mu[site, occu[site]]
+                d = de - dwork
+            else:
+                dwork = 0.0
+                d = de
+            dh = dh + jnp.where(v, d, 0.0)
+            if has_features:
+                df = df_fn(occu, site, code, None)
+                if has_mu:
+                    df = jnp.concatenate([df, jnp.atleast_1d(dwork)])
+                dfeat = dfeat + jnp.where(v, df, 0.0)
+            occu = jnp.where(v, occu.at[site].set(code), occu)
+        return occu, dh, dfeat
+
+    return apply
 
 
 def make_step_applier(delta_energy_fn, mu_table=None, delta_features_fn=None,
@@ -268,35 +333,16 @@ def make_step_applier(delta_energy_fn, mu_table=None, delta_features_fn=None,
     is given, the feature-vector delta (with the chemical work appended) is
     accumulated as well; otherwise dfeat is None.
     """
-    mu = None if mu_table is None else jnp.asarray(mu_table)
-
-    def apply(occu, sites, codes, valid):
-        n_flips = sites.shape[0]
-        dh = jnp.float64(0.0)
-        dfeat = (
-            None
-            if delta_features_fn is None
-            else jnp.zeros(num_features, dtype=jnp.float64)
-        )
-        for i in range(n_flips):
-            site, code, v = sites[i], codes[i], valid[i]
-            de = delta_energy_fn(occu, site, code, None)
-            if mu is not None:
-                dwork = mu[site, code] - mu[site, occu[site]]
-                d = de - dwork
-            else:
-                dwork = 0.0
-                d = de
-            dh = dh + jnp.where(v, d, 0.0)
-            if dfeat is not None:
-                df = delta_features_fn(occu, site, code, None)
-                if mu is not None:
-                    df = jnp.concatenate([df, jnp.atleast_1d(dwork)])
-                dfeat = dfeat + jnp.where(v, df, 0.0)
-            occu = jnp.where(v, occu.at[site].set(code), occu)
-        return occu, dh, dfeat
-
-    return apply
+    has_mu = mu_table is not None
+    mu = (
+        jnp.asarray(mu_table)
+        if has_mu
+        else jnp.zeros((1, 1), dtype=jnp.float64)
+    )
+    nf = int(num_features) if delta_features_fn is not None else -1
+    de = _as_partial(delta_energy_fn)
+    df = _as_partial(delta_features_fn) if delta_features_fn is not None else de
+    return Partial(_applier_fn(has_mu, nf), de, df, mu)
 
 
 # ---------------------------------------------------------------------------
@@ -309,29 +355,25 @@ def _accept_metropolis(key, exponent):
     return (exponent >= 0) | (exponent > jnp.log(u))
 
 
-def make_metropolis_step(propose_fn, apply_fn, log_priori_fn=None):
-    """Metropolis-Hastings step over the batched walker state.
+@lru_cache(maxsize=None)
+def _metropolis_step_fn(has_priori: bool):
+    def step(propose_fn, apply_fn, priori_fn, state, key):
+        def step_one(occu, enthalpy, beta, k, features):
+            k_prop, k_acc = jax.random.split(k)
+            sites, codes, valid, logp = propose_fn(k_prop, occu)
+            if has_priori:
+                logp = logp + priori_fn(occu, sites, codes, valid)
+            occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
+            exponent = -beta * dh + logp
+            accept = _accept_metropolis(k_acc, exponent)
+            occu = jnp.where(accept, occu_new, occu)
+            enthalpy = enthalpy + jnp.where(accept, dh, 0.0)
+            if features is not None:
+                features = features + jnp.where(
+                    accept, dfeat, jnp.zeros_like(dfeat)
+                )
+            return occu, enthalpy, accept, features
 
-    State entries: occupancy [W, N] int32, enthalpy [W] f64, beta [W] f64,
-    accepted [W] bool, naccept [W] int32, features [W, F] f64 (optional),
-    bias [W] f64 (optional, with 'bias_fn' folded into log_priori_fn).
-    """
-
-    def step_one(occu, enthalpy, beta, key, features):
-        k_prop, k_acc = jax.random.split(key)
-        sites, codes, valid, logp = propose_fn(k_prop, occu)
-        if log_priori_fn is not None:
-            logp = logp + log_priori_fn(occu, sites, codes, valid)
-        occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
-        exponent = -beta * dh + logp
-        accept = _accept_metropolis(k_acc, exponent)
-        occu = jnp.where(accept, occu_new, occu)
-        enthalpy = enthalpy + jnp.where(accept, dh, 0.0)
-        if features is not None:
-            features = features + jnp.where(accept, dfeat, jnp.zeros_like(dfeat))
-        return occu, enthalpy, accept, features
-
-    def step(state, key):
         keys = jax.random.split(key, state["occupancy"].shape[0])
         has_features = "features" in state
         occu, enthalpy, accept, features = jax.vmap(
@@ -355,60 +397,78 @@ def make_metropolis_step(propose_fn, apply_fn, log_priori_fn=None):
     return step
 
 
-def make_uniform_step(propose_fn, apply_fn):
+def make_metropolis_step(propose_fn, apply_fn, log_priori_fn=None):
+    """Metropolis-Hastings step over the batched walker state.
+
+    State entries: occupancy [W, N] int32, enthalpy [W] f64, beta [W] f64,
+    accepted [W] bool, naccept [W] int32, features [W, F] f64 (optional),
+    bias [W] f64 (optional, with 'bias_fn' folded into log_priori_fn).
+    """
+    has_priori = log_priori_fn is not None
+    priori = _as_partial(log_priori_fn) if has_priori else _as_partial(_no_priori)
+    return Partial(
+        _metropolis_step_fn(has_priori),
+        _as_partial(propose_fn),
+        _as_partial(apply_fn),
+        priori,
+    )
+
+
+def _no_priori(occu, sites, codes, valid):  # pragma: no cover - placeholder
+    return jnp.float64(0.0)
+
+
+def _uniform_step(propose_fn, apply_fn, state, key):
     """Uniformly-random (infinite temperature) acceptance kernel."""
 
-    def step_one(occu, enthalpy, key, features):
-        sites, codes, valid, _ = propose_fn(key, occu)
+    def step_one(occu, enthalpy, k, features):
+        sites, codes, valid, _ = propose_fn(k, occu)
         occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
         if features is not None:
             features = features + dfeat
         return occu_new, enthalpy + dh, features
 
-    def step(state, key):
-        keys = jax.random.split(key, state["occupancy"].shape[0])
-        has_features = "features" in state
-        occu, enthalpy, features = jax.vmap(
-            step_one, in_axes=(0, 0, 0, 0 if has_features else None)
-        )(state["occupancy"], state["enthalpy"], keys, state.get("features"))
-        out = dict(state)
-        out["occupancy"] = occu
-        out["enthalpy"] = enthalpy
-        out["accepted"] = jnp.ones(occu.shape[0], dtype=bool)
-        out["naccept"] = state["naccept"] + 1
-        if has_features:
-            out["features"] = features
-        return out
-
-    return step
+    keys = jax.random.split(key, state["occupancy"].shape[0])
+    has_features = "features" in state
+    occu, enthalpy, features = jax.vmap(
+        step_one, in_axes=(0, 0, 0, 0 if has_features else None)
+    )(state["occupancy"], state["enthalpy"], keys, state.get("features"))
+    out = dict(state)
+    out["occupancy"] = occu
+    out["enthalpy"] = enthalpy
+    out["accepted"] = jnp.ones(occu.shape[0], dtype=bool)
+    out["naccept"] = state["naccept"] + 1
+    if has_features:
+        out["features"] = features
+    return out
 
 
-def make_wang_landau_step(
-    propose_fn,
-    apply_fn,
-    min_enthalpy: float,
-    bin_size: float,
-    num_levels: int,
-    flatness: float = 0.8,
-    check_period: int = 1000,
-    update_period: int = 1,
-    mod_divisor: float = 2.0,
-):
+def make_uniform_step(propose_fn, apply_fn):
+    """Uniformly-random (infinite temperature) acceptance kernel."""
+    return Partial(_uniform_step, _as_partial(propose_fn), _as_partial(apply_fn))
+
+
+def _wl_step(propose_fn, apply_fn, params, state, key):
     """Wang-Landau step (arXiv PhysRevLett.86.2050; reference wanglandau.py).
 
     Extra state entries per walker: entropy [W, L], histogram [W, L],
     occurrences [W, L], mean_features [W, L, F], mod_factor [W],
     wl_counter [W] (valid-state step counter).  Enthalpies outside
-    [min, min + L*bin) are rejected.
+    [min, min + L*bin) are rejected.  ``params`` is a dict of scalars:
+    min_enthalpy, bin_size, flatness, check_period, update_period,
+    mod_divisor.
     """
-    max_enthalpy = min_enthalpy + num_levels * bin_size
+    min_enthalpy = params["min_enthalpy"]
+    bin_size = params["bin_size"]
 
     def bin_of(e):
         return jnp.floor((e - min_enthalpy) / bin_size).astype(jnp.int32)
 
     def step_one(occu, enthalpy, features, entropy, histogram, occurrences,
-                 mean_features, mod_factor, counter, key):
-        k_prop, k_acc = jax.random.split(key)
+                 mean_features, mod_factor, counter, k):
+        num_levels = entropy.shape[0]
+        max_enthalpy = min_enthalpy + num_levels * bin_size
+        k_prop, k_acc = jax.random.split(k)
         sites, codes, valid, logp = propose_fn(k_prop, occu)
         occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
         new_enthalpy = enthalpy + dh
@@ -433,7 +493,9 @@ def make_wang_landau_step(
             mean_features.at[cur_bin].set(new_mean),
             mean_features,
         )
-        do_update = cur_valid & (jnp.mod(counter, update_period) == 0)
+        do_update = cur_valid & (
+            jnp.mod(counter, params["update_period"]) == 0
+        )
         entropy = jnp.where(
             do_update, entropy.at[cur_bin].add(mod_factor), entropy
         )
@@ -443,41 +505,67 @@ def make_wang_landau_step(
         )
 
         # flatness check every check_period valid steps
-        do_check = cur_valid & (jnp.mod(counter, check_period) == 0)
+        do_check = cur_valid & (jnp.mod(counter, params["check_period"]) == 0)
         visited = entropy > 0
         nvisited = jnp.sum(visited)
-        hmean = jnp.sum(jnp.where(visited, histogram, 0)) / jnp.maximum(nvisited, 1)
+        hmean = jnp.sum(jnp.where(visited, histogram, 0)) / jnp.maximum(
+            nvisited, 1
+        )
         flat = (nvisited >= 2) & jnp.all(
-            jnp.where(visited, histogram > flatness * hmean, True)
+            jnp.where(visited, histogram > params["flatness"] * hmean, True)
         )
         reset = do_check & flat
         histogram = jnp.where(reset, jnp.zeros_like(histogram), histogram)
-        mod_factor = jnp.where(reset, mod_factor / mod_divisor, mod_factor)
+        mod_factor = jnp.where(
+            reset, mod_factor / params["mod_divisor"], mod_factor
+        )
 
         return (occu, enthalpy, features, entropy, histogram, occurrences,
                 mean_features, mod_factor, counter, accept)
 
-    def step(state, key):
-        keys = jax.random.split(key, state["occupancy"].shape[0])
-        outs = jax.vmap(step_one)(
-            state["occupancy"], state["enthalpy"], state["features"],
-            state["entropy"], state["histogram"], state["occurrences"],
-            state["mean_features"], state["mod_factor"], state["wl_counter"],
-            keys,
-        )
-        (occu, enthalpy, features, entropy, histogram, occurrences,
-         mean_features, mod_factor, counter, accept) = outs
-        out = dict(state)
-        out.update(
-            occupancy=occu, enthalpy=enthalpy, features=features,
-            entropy=entropy, histogram=histogram, occurrences=occurrences,
-            mean_features=mean_features, mod_factor=mod_factor,
-            wl_counter=counter, accepted=accept,
-            naccept=state["naccept"] + accept.astype(jnp.int32),
-        )
-        return out
+    keys = jax.random.split(key, state["occupancy"].shape[0])
+    outs = jax.vmap(step_one)(
+        state["occupancy"], state["enthalpy"], state["features"],
+        state["entropy"], state["histogram"], state["occurrences"],
+        state["mean_features"], state["mod_factor"], state["wl_counter"],
+        keys,
+    )
+    (occu, enthalpy, features, entropy, histogram, occurrences,
+     mean_features, mod_factor, counter, accept) = outs
+    out = dict(state)
+    out.update(
+        occupancy=occu, enthalpy=enthalpy, features=features,
+        entropy=entropy, histogram=histogram, occurrences=occurrences,
+        mean_features=mean_features, mod_factor=mod_factor,
+        wl_counter=counter, accepted=accept,
+        naccept=state["naccept"] + accept.astype(jnp.int32),
+    )
+    return out
 
-    return step
+
+def make_wang_landau_step(
+    propose_fn,
+    apply_fn,
+    min_enthalpy: float,
+    bin_size: float,
+    num_levels: int,  # noqa: ARG001 (carried by the state array shapes)
+    flatness: float = 0.8,
+    check_period: int = 1000,
+    update_period: int = 1,
+    mod_divisor: float = 2.0,
+):
+    """Wang-Landau step builder (see :func:`_wl_step`)."""
+    params = {
+        "min_enthalpy": jnp.float64(min_enthalpy),
+        "bin_size": jnp.float64(bin_size),
+        "flatness": jnp.float64(flatness),
+        "check_period": jnp.int32(check_period),
+        "update_period": jnp.int32(update_period),
+        "mod_divisor": jnp.float64(mod_divisor),
+    }
+    return Partial(
+        _wl_step, _as_partial(propose_fn), _as_partial(apply_fn), params
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -485,13 +573,7 @@ def make_wang_landau_step(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("step_fn", "record_fn", "nsamples", "thin_by"))
-def run_chain(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
-    """Run nsamples * thin_by steps, recording a trace every thin_by.
-
-    Returns (final state, stacked traces pytree with leading axis nsamples).
-    """
-
+def _run_chain_impl(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
     def sample_body(carry, sample_key):
         st = carry
         st["window_naccept"] = jnp.zeros_like(st["naccept"])
@@ -513,3 +595,30 @@ def run_chain(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
     state, traces = jax.lax.scan(sample_body, state, sample_keys)
     state.pop("window_naccept", None)
     return state, traces
+
+
+# step/record functions passed as traced Partial pytrees: all systems with
+# the same table shapes share one compilation
+_run_chain_fnargs = jax.jit(
+    _run_chain_impl, static_argnames=("nsamples", "thin_by")
+)
+# legacy path: step/record are static (compiled per closure instance)
+_run_chain_static = jax.jit(
+    _run_chain_impl,
+    static_argnames=("step_fn", "record_fn", "nsamples", "thin_by"),
+)
+
+
+def run_chain(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
+    """Run nsamples * thin_by steps, recording a trace every thin_by.
+
+    Returns (final state, stacked traces pytree with leading axis nsamples).
+    """
+    if isinstance(step_fn, Partial):
+        return _run_chain_fnargs(
+            state, key, step_fn, _as_partial(record_fn), int(nsamples),
+            int(thin_by),
+        )
+    return _run_chain_static(
+        state, key, step_fn, record_fn, int(nsamples), int(thin_by)
+    )

@@ -153,6 +153,9 @@ def pack_supercell(subspace, scmatrix) -> PackedSupercell:
         for s in np.unique(cluster_sites[c, :k]):
             site_clusters[int(s)].append(c)
     lmax = max((len(v) for v in site_clusters), default=1)
+    # round padded widths up to a multiple of 8 so supercells of equal size
+    # but different shape usually share table dims (and so XLA compilations)
+    lmax = -(-max(lmax, 1) // 8) * 8
     local_clusters = np.full((num_sites, max(lmax, 1)), -1, dtype=np.int32)
     for s, v in enumerate(site_clusters):
         local_clusters[s, : len(v)] = v
@@ -173,6 +176,7 @@ def pack_supercell(subspace, scmatrix) -> PackedSupercell:
             for k in range(int(orbit_num_combos[oid])):
                 site_pairs[s].append(pair_id_lookup[(c, bid + k)])
     lpmax = max((len(v) for v in site_pairs), default=1)
+    lpmax = -(-max(lpmax, 1) // 8) * 8
     local_pairs = np.full((num_sites, max(lpmax, 1)), -1, dtype=np.int32)
     for s, v in enumerate(site_pairs):
         local_pairs[s, : len(v)] = v
