@@ -40,30 +40,46 @@ __all__ = [
 ]
 
 _P = jax.lax.Precision.HIGHEST
+_ROW_SELECT = "matmul"  # "matmul" (one-hot MXU select) or "gather"
 MAX_CODES = 16  # 4-bit nibble packing
 MAX_TENSOR = 128  # compare-select domain for tensor indices
 
 
 @dataclass(frozen=True)
 class FastTables:
-    """Static device tables for the fast step (see module docstring)."""
+    """Static device tables for the fast step (see module docstring).
+
+    Table rows are indexed by active-site RANK (position in the
+    concatenation of the active sublattices' site lists), not by site id:
+    inactive sites contribute no rows, which shrinks the dominant one-hot
+    row-select matmuls (e.g. 112 -> 48 rows on the spinel benchmark).
+    """
 
     num_sites: int
     num_words: int
+    num_ranks: int  # R: total active sites across sublattices
     n_local: int  # L: padded local clusters per site
-    max_size: int  # K: padded cluster size
+    k_other: int  # Ko: padded non-self sites per cluster (K - 1)
     tensor_max: int  # Tmax: padded tensor size
-    big: jnp.ndarray  # [N, LK + LK + L + C] f32: sites | strides | d2 | mu
-    g_hi: jnp.ndarray  # [N, L*Tmax] f32 energy-table hi plane
-    g_lo: jnp.ndarray  # [N, L*Tmax] f32 energy-table lo plane
-    n_codes: jnp.ndarray  # [N] int32 allowed codes per site
+    # ONE fused table selected by a single one-hot matmul per step:
+    # [R, L*Ko + L*Ko + L + C + 2*L*Tmax] f32 laid out as
+    #   sites_other | strides_other | d2 | mu (+ mu correction) | planes
+    # where planes = (dg_hi | dg_lo) difference tables when all sublattices
+    # are binary, else (g_hi | g_lo) value tables.  Self slots are folded
+    # into d2 (t_old = sum_other occ*stride + a*d2), shrinking the
+    # occupancy-read broadcast by K/(K-1).
+    big: jnp.ndarray
+    mu_offset: int  # column where mu rows start
+    plane_offset: int  # column where the energy planes start
+    binary: bool  # planes hold difference tables (single select per plane)
+    sub_n_codes: jnp.ndarray  # [S] int32 allowed codes per sublattice
     has_mu: bool
     max_code_cols: int
     # active-site tables per sublattice for proposals
     active_sites: jnp.ndarray  # [S, A] int32 padded 0
     n_active: jnp.ndarray  # [S] int32
+    sub_offset: jnp.ndarray  # [S] int32 rank offset of each sublattice
     cum_probs: jnp.ndarray  # [S] f64
-    sub_of_rank: jnp.ndarray = field(default=None)  # unused placeholder
 
 
 def site_local_arrays(processor):
@@ -140,11 +156,25 @@ def build_fast_tables(processor, sublattices, mu_table=None,
         if not np.array_equal(s.encoding, np.arange(len(s.encoding))):
             return None
 
-    sss = sites3.reshape(n, L * K)
-    sst = strides3.reshape(n, L * K)
-    g = g3.reshape(n, L * tmax)
-    g_hi = g.astype(np.float32)
-    g_lo = (g - g_hi.astype(np.float64)).astype(np.float32)
+    # every valid local cluster must carry a positive self stride so that
+    # the self slot can be folded into d2
+    valid_cluster = strides3.sum(axis=2) > 0
+    if np.any(valid_cluster & (d2 <= 0)):
+        return None
+    ko = max(K - 1, 1)
+    sites_o = np.zeros((n, L, ko), dtype=np.int64)
+    strides_o = np.zeros((n, L, ko), dtype=np.int64)
+    for i in range(n):
+        for l in range(L):
+            kk = 0
+            for k in range(K):
+                st = strides3[i, l, k]
+                if st > 0 and sites3[i, l, k] != i:
+                    if kk >= ko:
+                        return None
+                    sites_o[i, l, kk] = sites3[i, l, k]
+                    strides_o[i, l, kk] = st
+                    kk += 1
 
     n_codes = np.ones(n, dtype=np.int32)
     for s in sublattices:
@@ -152,9 +182,10 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     if np.max(n_codes) > MAX_CODES:
         return None
 
-    cols = [sss, sst, d2]
+    cols = [sites_o.reshape(n, L * ko), strides_o.reshape(n, L * ko), d2]
     max_code_cols = 0
     has_mu = mu_table is not None
+    mu_offset = 2 * L * ko + L
     if has_mu:
         max_code_cols = mu_table.shape[1]
         cols.append(np.asarray(mu_table, dtype=np.float64))
@@ -162,11 +193,12 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     if has_mu:
         # mu values must be exactly representable in f32 for the matmul
         # row-select to stay exact; keep an f64 correction plane if not
-        mu32 = big[:, 2 * L * K + L :].astype(np.float64)
+        mu32 = big[:, mu_offset:].astype(np.float64)
         if not np.allclose(mu32, np.asarray(mu_table), rtol=0, atol=0):
             # append a correction plane
             corr = (np.asarray(mu_table) - mu32).astype(np.float32)
             big = np.concatenate([big, corr], axis=1)
+    plane_offset = big.shape[1]
 
     if sublattice_probabilities is None:
         probs = np.full(len(active), 1.0 / len(active))
@@ -179,20 +211,51 @@ def build_fast_tables(processor, sublattices, mu_table=None,
         act[i, : len(s.active_sites)] = s.active_sites
         nact[i] = len(s.active_sites)
 
+    # compact table rows to active sites, ordered by rank
+    rank_sites = np.concatenate(
+        [np.asarray(s.active_sites, dtype=np.int64) for s in active]
+    )
+    sub_offset = np.concatenate([[0], np.cumsum(nact)[:-1]]).astype(np.int32)
+    sub_n_codes = np.array([len(s.encoding) for s in active], dtype=np.int32)
+
+    # energy planes: binary difference tables (one select per plane
+    # instead of four) when every sublattice has two codes, else the raw
+    # value tables
+    binary = bool(np.all(sub_n_codes == 2))
+    if binary:
+        planes = np.zeros_like(g3)  # [n, L, tmax] f64
+        d2i = d2.astype(np.int64)
+        for i in range(n):
+            for l in range(g3.shape[1]):
+                d = int(d2i[i, l])
+                if d > 0 and d < tmax:
+                    planes[i, l, : tmax - d] = (
+                        g3[i, l, d:] - g3[i, l, : tmax - d]
+                    )
+    else:
+        planes = g3
+    pf = planes.reshape(n, L * tmax)
+    p_hi = pf.astype(np.float32)
+    p_lo = (pf - p_hi.astype(np.float64)).astype(np.float32)
+    big = np.concatenate([big, p_hi, p_lo], axis=1)
+
     return FastTables(
         num_sites=n,
         num_words=(n + 7) // 8,
+        num_ranks=len(rank_sites),
         n_local=L,
-        max_size=K,
+        k_other=ko,
         tensor_max=tmax,
-        big=jnp.asarray(big),
-        g_hi=jnp.asarray(g_hi),
-        g_lo=jnp.asarray(g_lo),
-        n_codes=jnp.asarray(n_codes),
+        big=jnp.asarray(big[rank_sites]),
+        mu_offset=mu_offset,
+        plane_offset=plane_offset,
+        binary=binary,
+        sub_n_codes=jnp.asarray(sub_n_codes),
         has_mu=has_mu,
         max_code_cols=max_code_cols,
         active_sites=jnp.asarray(act),
         n_active=jnp.asarray(nact),
+        sub_offset=jnp.asarray(sub_offset),
         cum_probs=jnp.asarray(np.cumsum(probs)),
     )
 
@@ -236,19 +299,28 @@ def _write_site_code(words, site, code, word_s, accept, iota_w):
     return jnp.where(mask, new_word[:, None], words)
 
 
-def _flip_delta(words, s, a, b, t: FastTables):
-    """Exact f64 energy change of flipping site s from a to b.
+def _flip_delta(words, rank, a, b, t: FastTables):
+    """Exact f64 energy change of flipping the site of active rank ``rank``
+    from code ``a`` to ``b``.  Returns (delta_e, delta_mu_work), both [W].
 
-    Returns (delta_e, delta_mu_work, word_s) — all [W].
+    One one-hot MXU matmul selects the rank's entire fused table row
+    (neighbor slots, strides, d2, mu, energy planes); the occupancy of the
+    non-self slots is read by compare-select over the packed words; the
+    energy contribution per local cluster is selected from the planes by
+    comparing the tensor index against a small iota.
     """
     W = words.shape[0]
-    L, K, tmax = t.n_local, t.max_size, t.tensor_max
-    LK = L * K
+    L, Ko, tmax = t.n_local, t.k_other, t.tensor_max
+    LK = L * Ko
+    LT = L * tmax
     iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
     iota_t = jnp.arange(tmax, dtype=jnp.int32)
 
-    oh = jax.nn.one_hot(s, t.num_sites, dtype=jnp.float32)
-    rows = jax.lax.dot(oh, t.big, precision=_P)
+    if _ROW_SELECT == "gather":
+        rows = jnp.take(t.big, rank, axis=0)
+    else:
+        oh = jax.nn.one_hot(rank, t.num_ranks, dtype=jnp.float32)
+        rows = jax.lax.dot(oh, t.big, precision=_P)
     sites = rows[:, :LK].astype(jnp.uint32)
     strides = rows[:, LK: 2 * LK].astype(jnp.int32)
     d2 = rows[:, 2 * LK: 2 * LK + L].astype(jnp.int32)
@@ -263,24 +335,39 @@ def _flip_delta(words, s, a, b, t: FastTables):
         axis=2,
     )
     occv = ((wsel >> ((sites & 7) * 4)) & 15).astype(jnp.int32)
-    t_old = jnp.sum((occv * strides).reshape(W, L, K), axis=2)
+    partial = jnp.sum((occv * strides).reshape(W, L, Ko), axis=2)
+    t_old = partial + a[:, None] * d2
     t_new = t_old + (b - a)[:, None] * d2
 
-    ghi = jax.lax.dot(oh, t.g_hi, precision=_P).reshape(W, L, tmax)
-    glo = jax.lax.dot(oh, t.g_lo, precision=_P).reshape(W, L, tmax)
-    sel_new = t_new[:, :, None] == iota_t[None, None, :]
-    sel_old = t_old[:, :, None] == iota_t[None, None, :]
-    hi_new = jnp.sum(jnp.where(sel_new, ghi, 0.0), axis=2).astype(jnp.float64)
-    hi_old = jnp.sum(jnp.where(sel_old, ghi, 0.0), axis=2).astype(jnp.float64)
-    lo_new = jnp.sum(jnp.where(sel_new, glo, 0.0), axis=2).astype(jnp.float64)
-    lo_old = jnp.sum(jnp.where(sel_old, glo, 0.0), axis=2).astype(jnp.float64)
-    de = jnp.sum((hi_new - hi_old) + (lo_new - lo_old), axis=1)
+    po = t.plane_offset
+    if t.binary:
+        # difference tables: select at min(t_old, t_new), apply flip sign
+        dghi = rows[:, po: po + LT].reshape(W, L, tmax)
+        dglo = rows[:, po + LT: po + 2 * LT].reshape(W, L, tmax)
+        t_min = jnp.minimum(t_old, t_new)
+        sign = (b - a).astype(jnp.float32)[:, None]
+        sel = t_min[:, :, None] == iota_t[None, None, :]
+        d_hi = sign * jnp.sum(jnp.where(sel, dghi, 0.0), axis=2)
+        d_lo = sign * jnp.sum(jnp.where(sel, dglo, 0.0), axis=2)
+        de = jnp.sum(
+            d_hi.astype(jnp.float64) + d_lo.astype(jnp.float64), axis=1
+        )
+    else:
+        ghi = rows[:, po: po + LT].reshape(W, L, tmax)
+        glo = rows[:, po + LT: po + 2 * LT].reshape(W, L, tmax)
+        sel_new = t_new[:, :, None] == iota_t[None, None, :]
+        sel_old = t_old[:, :, None] == iota_t[None, None, :]
+        hi_new = jnp.sum(jnp.where(sel_new, ghi, 0.0), axis=2).astype(jnp.float64)
+        hi_old = jnp.sum(jnp.where(sel_old, ghi, 0.0), axis=2).astype(jnp.float64)
+        lo_new = jnp.sum(jnp.where(sel_new, glo, 0.0), axis=2).astype(jnp.float64)
+        lo_old = jnp.sum(jnp.where(sel_old, glo, 0.0), axis=2).astype(jnp.float64)
+        de = jnp.sum((hi_new - hi_old) + (lo_new - lo_old), axis=1)
 
     dwork = jnp.float64(0.0)
     if t.has_mu:
-        c0 = 2 * LK + L
+        c0 = t.mu_offset
         mu_rows = rows[:, c0: c0 + t.max_code_cols].astype(jnp.float64)
-        if t.big.shape[1] > c0 + t.max_code_cols:  # correction plane
+        if t.plane_offset > c0 + t.max_code_cols:  # correction plane
             mu_rows = mu_rows + rows[
                 :, c0 + t.max_code_cols: c0 + 2 * t.max_code_cols
             ].astype(jnp.float64)
@@ -313,35 +400,23 @@ def make_fast_flip_step(t: FastTables):
         k_sl, k_site, k_code, k_acc = jax.random.split(key, 4)
         u_sl = jax.random.uniform(k_sl, (W,))
         sl = jnp.searchsorted(t.cum_probs, u_sl, side="right").astype(jnp.int32)
-        n_act = jnp.sum(
-            jnp.where(sl[:, None] == iota_s[None, :], t.n_active[None, :], 0),
-            axis=1,
-        )
+        sl_oh = sl[:, None] == iota_s[None, :]  # [W, S]
+        n_act = jnp.sum(jnp.where(sl_oh, t.n_active[None, :], 0), axis=1)
         ai = jax.random.randint(k_site, (W,), 0, n_act)
         # site = active_sites[sl, ai] via two compare-selects
         row = jnp.sum(
-            jnp.where(
-                sl[:, None, None] == iota_s[None, :, None],
-                t.active_sites[None, :, :],
-                0,
-            ),
+            jnp.where(sl_oh[:, :, None], t.active_sites[None, :, :], 0),
             axis=1,
         )  # [W, A]
         s = jnp.sum(jnp.where(ai[:, None] == iota_a[None, :], row, 0), axis=1)
+        rank = jnp.sum(jnp.where(sl_oh, t.sub_offset[None, :], 0), axis=1) + ai
 
         a, word_s = _read_site_code(words, s, iota_w)
-        ncod = jnp.sum(
-            jnp.where(
-                s[:, None] == jnp.arange(t.num_sites)[None, :],
-                t.n_codes[None, :],
-                0,
-            ),
-            axis=1,
-        )
+        ncod = jnp.sum(jnp.where(sl_oh, t.sub_n_codes[None, :], 0), axis=1)
         j = jax.random.randint(k_code, (W,), 0, jnp.maximum(ncod - 1, 1))
         b = j + (j >= a)
 
-        de, dwork = _flip_delta(words, s, a, b, t)
+        de, dwork = _flip_delta(words, rank, a, b, t)
         dh = de - dwork if t.has_mu else de
         u = jax.random.uniform(k_acc, (W,), dtype=jnp.float64)
         accept = (dh * -state["beta"] >= 0) | (-state["beta"] * dh > jnp.log(u))
@@ -371,20 +446,16 @@ def make_fast_swap_step(t: FastTables):
         k_sl, k_site, k_pick, k_acc = jax.random.split(key, 4)
         u_sl = jax.random.uniform(k_sl, (W,))
         sl = jnp.searchsorted(t.cum_probs, u_sl, side="right").astype(jnp.int32)
-        n_act = jnp.sum(
-            jnp.where(sl[:, None] == iota_s[None, :], t.n_active[None, :], 0),
-            axis=1,
-        )
+        sl_oh = sl[:, None] == iota_s[None, :]  # [W, S]
+        n_act = jnp.sum(jnp.where(sl_oh, t.n_active[None, :], 0), axis=1)
         row = jnp.sum(
-            jnp.where(
-                sl[:, None, None] == iota_s[None, :, None],
-                t.active_sites[None, :, :],
-                0,
-            ),
+            jnp.where(sl_oh[:, :, None], t.active_sites[None, :, :], 0),
             axis=1,
         )  # [W, A] active sites of the chosen sublattice
+        off = jnp.sum(jnp.where(sl_oh, t.sub_offset[None, :], 0), axis=1)
         ai = jax.random.randint(k_site, (W,), 0, n_act)
         s1 = jnp.sum(jnp.where(ai[:, None] == iota_a[None, :], row, 0), axis=1)
+        rank1 = off + ai
         sp1, word_s1 = _read_site_code(words, s1, iota_w)
 
         # occupancies of all active sites in the chosen sublattice
@@ -406,14 +477,15 @@ def make_fast_swap_step(t: FastTables):
         cum = jnp.cumsum(mask, axis=1)
         pick = mask & (cum == (m + 1)[:, None])
         s2 = jnp.sum(jnp.where(pick, row, 0), axis=1)
+        rank2 = off + jnp.sum(jnp.where(pick, iota_a[None, :], 0), axis=1)
         sp2 = jnp.sum(jnp.where(pick, occ_row, 0), axis=1)
         has = count > 0
 
         # flip 1: s1 -> sp2 ; flip 2 (on updated words): s2 -> sp1
-        de1, dw1 = _flip_delta(words, s1, sp1, sp2, t)
+        de1, dw1 = _flip_delta(words, rank1, sp1, sp2, t)
         words1 = _write_site_code(words, s1, sp2, word_s1, has, iota_w)
         sp2_check, word_s2 = _read_site_code(words1, s2, iota_w)
-        de2, dw2 = _flip_delta(words1, s2, sp2_check, sp1, t)
+        de2, dw2 = _flip_delta(words1, rank2, sp2_check, sp1, t)
         dh = de1 + de2
         if t.has_mu:
             dh = dh - (dw1 + dw2)
