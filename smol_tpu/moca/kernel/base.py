@@ -258,12 +258,21 @@ class MCKernel(ABC):
     def _build_fast_tables(self):
         return None
 
+    def _fast_code_bits(self):
+        """Packing width of the fast-path occupancy words (1 or 4 bits)."""
+        fast = self._get_fast_tables()
+        tables = fast[0] if isinstance(fast, tuple) else fast
+        return 1 if getattr(tables, "binary", False) else 4
+
     def state_occupancy(self, state):
         """[W, N] int32 occupancies of a device state."""
         if "words" in state:
             from smol_tpu.ops.fastmc import unpack_occupancy
 
-            return unpack_occupancy(state["words"], self._ensemble.num_sites)
+            return unpack_occupancy(
+                state["words"], self._ensemble.num_sites,
+                self._fast_code_bits(),
+            )
         return state["occupancy"]
 
     def initial_state(self, occupancies) -> dict:
@@ -286,7 +295,8 @@ class MCKernel(ABC):
             from smol_tpu.ops.fastmc import pack_occupancy
 
             state["words"] = pack_occupancy(
-                jnp.asarray(occupancies), self._ensemble.num_sites
+                jnp.asarray(occupancies), self._ensemble.num_sites,
+                self._fast_code_bits(),
             )
         else:
             state["occupancy"] = jnp.asarray(occupancies)

@@ -61,17 +61,18 @@ class FastTables:
     n_local: int  # L: padded local clusters per site
     k_other: int  # Ko: padded non-self sites per cluster (K - 1)
     tensor_max: int  # Tmax: padded tensor size
-    # ONE fused table selected by a single one-hot matmul per step:
-    # [R, L*Ko + L*Ko + L + C + 2*L*Tmax] f32 laid out as
-    #   sites_other | strides_other | d2 | mu (+ mu correction) | planes
-    # where planes = (dg_hi | dg_lo) difference tables when all sublattices
-    # are binary, else (g_hi | g_lo) value tables.  Self slots are folded
-    # into d2 (t_old = sum_other occ*stride + a*d2), shrinking the
-    # occupancy-read broadcast by K/(K-1).
+    # ONE fused table selected by a single one-hot matmul per step.
+    # General layout ([R, L*Ko + L*Ko + L + C + 2*L*Tmax] f32):
+    #   sites_other | strides_other | d2 | mu (+ mu correction) | g_hi | g_lo
+    # Binary layout ([R, L*Ko + C (+C)] f32):
+    #   sites_other | mu (+ mu correction)
+    # with the energy planes in a separate bf16 matrix (see planes_bf):
+    # strides and d2 are unnecessary because the compact tensor index is
+    # m = sum_j occ_j * 2^j over the non-self slots.
     big: jnp.ndarray
     mu_offset: int  # column where mu rows start
-    plane_offset: int  # column where the energy planes start
-    binary: bool  # planes hold difference tables (single select per plane)
+    plane_offset: int  # column where the energy planes start (general)
+    binary: bool  # binary compact layout + difference planes
     sub_n_codes: jnp.ndarray  # [S] int32 allowed codes per sublattice
     has_mu: bool
     max_code_cols: int
@@ -80,6 +81,13 @@ class FastTables:
     n_active: jnp.ndarray  # [S] int32
     sub_offset: jnp.ndarray  # [S] int32 rank offset of each sublattice
     cum_probs: jnp.ndarray  # [S] f64
+    # binary path: difference tables Dc[r, l, m] = g(m-state flipped up) -
+    # g(m-state), m the compact index, stored as SIX exact bf16 planes
+    # (hi = b0+b1+b2, lo = b3+b4+b5; each f32 plane splits exactly into
+    # three bf16 terms, and a one-hot matmul in native bf16 selects each
+    # term exactly) -> [R, 6 * L * tmax_c] bf16
+    planes_bf: jnp.ndarray = field(default=None)
+    tmax_c: int = 0  # compact tensor width (2**Ko)
 
 
 def site_local_arrays(processor):
@@ -182,10 +190,24 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     if np.max(n_codes) > MAX_CODES:
         return None
 
-    cols = [sites_o.reshape(n, L * ko), strides_o.reshape(n, L * ko), d2]
+    sub_n_codes_all = sorted(
+        {len(s.encoding) for s in sublattices if s.is_active}
+    )
+    # 1-bit packing requires EVERY site's code (including frozen/inactive
+    # sublattices) to fit one bit
+    binary = sub_n_codes_all == [2] and all(
+        len(s.encoding) <= 2 and int(np.max(s.encoding, initial=0)) <= 1
+        for s in sublattices
+    )
+
     max_code_cols = 0
     has_mu = mu_table is not None
-    mu_offset = 2 * L * ko + L
+    if binary:
+        cols = [sites_o.reshape(n, L * ko)]
+        mu_offset = L * ko
+    else:
+        cols = [sites_o.reshape(n, L * ko), strides_o.reshape(n, L * ko), d2]
+        mu_offset = 2 * L * ko + L
     if has_mu:
         max_code_cols = mu_table.shape[1]
         cols.append(np.asarray(mu_table, dtype=np.float64))
@@ -218,30 +240,77 @@ def build_fast_tables(processor, sublattices, mu_table=None,
     sub_offset = np.concatenate([[0], np.cumsum(nact)[:-1]]).astype(np.int32)
     sub_n_codes = np.array([len(s.encoding) for s in active], dtype=np.int32)
 
-    # energy planes: binary difference tables (one select per plane
-    # instead of four) when every sublattice has two codes, else the raw
-    # value tables
-    binary = bool(np.all(sub_n_codes == 2))
+    planes_bf = None
+    tmax_c = 0
     if binary:
-        planes = np.zeros_like(g3)  # [n, L, tmax] f64
+        # compact difference tables: Dc[i, l, m] = g(t(m) + d2) - g(t(m))
+        # where m = sum_j occ_j * 2**j over the Ko non-self slots and
+        # t(m) = sum_j occ_j * stride_j (self code 0)
+        tmax_c = 2 ** ko
+        dc = np.zeros((n, L, tmax_c))
         d2i = d2.astype(np.int64)
         for i in range(n):
-            for l in range(g3.shape[1]):
+            for l in range(L):
                 d = int(d2i[i, l])
-                if d > 0 and d < tmax:
-                    planes[i, l, : tmax - d] = (
-                        g3[i, l, d:] - g3[i, l, : tmax - d]
+                if d <= 0:
+                    continue
+                for m in range(tmax_c):
+                    tt = sum(
+                        ((m >> j) & 1) * int(strides_o[i, l, j])
+                        for j in range(ko)
                     )
-    else:
-        planes = g3
-    pf = planes.reshape(n, L * tmax)
-    p_hi = pf.astype(np.float32)
-    p_lo = (pf - p_hi.astype(np.float64)).astype(np.float32)
-    big = np.concatenate([big, p_hi, p_lo], axis=1)
+                    dc[i, l, m] = g3[i, l, tt + d] - g3[i, l, tt]
+        dcf = dc.reshape(n, L * tmax_c)
+        hi32 = dcf.astype(np.float32)
+        lo32 = (dcf - hi32.astype(np.float64)).astype(np.float32)
+
+        def split3(x32):
+            # numpy has no bfloat16; do the exact 3-way split via jax
+            import jax.numpy as _jnp
+            xb = _jnp.asarray(x32)
+            p0 = xb.astype(_jnp.bfloat16)
+            r1 = (xb - p0.astype(_jnp.float32))
+            p1 = r1.astype(_jnp.bfloat16)
+            r2 = (r1 - p1.astype(_jnp.float32))
+            p2 = r2.astype(_jnp.bfloat16)
+            resid = r2 - p2.astype(_jnp.float32)
+            ok = bool((resid == 0).all())
+            return [np.asarray(p) for p in (p0, p1, p2)], ok
+
+        (h0, h1, h2), ok_h = split3(hi32)
+        (l0, l1, l2), ok_l = split3(lo32)
+        if ok_h and ok_l:
+            planes_np = np.concatenate([h0, h1, h2, l0, l1, l2], axis=1)
+            planes_bf = jnp.asarray(planes_np[rank_sites])
+        else:  # exactness of the 3-way split failed: general path
+            binary = False
+            tmax_c = 0
+
+    if not binary:
+        # general layout keeps strides/d2 and appends f32 value planes
+        if sub_n_codes_all == [2] and planes_bf is None:
+            # binary fell back: rebuild big with the general layout
+            cols = [
+                sites_o.reshape(n, L * ko), strides_o.reshape(n, L * ko), d2
+            ]
+            mu_offset = 2 * L * ko + L
+            if has_mu:
+                cols.append(np.asarray(mu_table, dtype=np.float64))
+            big = np.concatenate(cols, axis=1).astype(np.float32)
+            if has_mu:
+                mu32 = big[:, mu_offset:].astype(np.float64)
+                if not np.allclose(mu32, np.asarray(mu_table), rtol=0, atol=0):
+                    corr = (np.asarray(mu_table) - mu32).astype(np.float32)
+                    big = np.concatenate([big, corr], axis=1)
+            plane_offset = big.shape[1]
+        pf = g3.reshape(n, L * tmax)
+        p_hi = pf.astype(np.float32)
+        p_lo = (pf - p_hi.astype(np.float64)).astype(np.float32)
+        big = np.concatenate([big, p_hi, p_lo], axis=1)
 
     return FastTables(
         num_sites=n,
-        num_words=(n + 7) // 8,
+        num_words=(n + 31) // 32 if binary else (n + 7) // 8,
         num_ranks=len(rank_sites),
         n_local=L,
         k_other=ko,
@@ -257,44 +326,56 @@ def build_fast_tables(processor, sublattices, mu_table=None,
         n_active=jnp.asarray(nact),
         sub_offset=jnp.asarray(sub_offset),
         cum_probs=jnp.asarray(np.cumsum(probs)),
+        planes_bf=planes_bf,
+        tmax_c=tmax_c,
     )
 
 
-def pack_occupancy(occu, num_sites: int) -> jnp.ndarray:
-    """Pack [W, N] int codes (< 16) into [W, ceil(N/8)] uint32 nibbles."""
+def pack_occupancy(occu, num_sites: int, code_bits: int = 4) -> jnp.ndarray:
+    """Pack [W, N] int codes into uint32 words (4-bit nibbles or 1-bit)."""
+    per = 32 // code_bits
     occu = jnp.asarray(occu, dtype=jnp.uint32)
-    nw = (num_sites + 7) // 8
-    pad = nw * 8 - num_sites
+    nw = (num_sites + per - 1) // per
+    pad = nw * per - num_sites
     if pad:
         occu = jnp.pad(occu, ((0, 0), (0, pad)))
-    shifts = (jnp.arange(nw * 8, dtype=jnp.uint32) % 8) * 4
+    shifts = (jnp.arange(nw * per, dtype=jnp.uint32) % per) * code_bits
     bits = occu << shifts[None, :]
     # keep uint32: jnp.sum would promote unsigned ints to uint64 under x64
-    return bits.reshape(occu.shape[0], nw, 8).sum(axis=2, dtype=jnp.uint32)
+    return bits.reshape(occu.shape[0], nw, per).sum(axis=2, dtype=jnp.uint32)
 
 
-def unpack_occupancy(words, num_sites: int) -> jnp.ndarray:
+def unpack_occupancy(words, num_sites: int, code_bits: int = 4) -> jnp.ndarray:
     """Inverse of pack_occupancy -> [W, N] int32 (static indexing only)."""
-    widx = np.arange(num_sites) // 8
-    shifts = jnp.asarray(((np.arange(num_sites) % 8) * 4).astype(np.uint32))
-    return ((words[:, widx] >> shifts[None, :]) & 15).astype(jnp.int32)
+    per = 32 // code_bits
+    mask = (1 << code_bits) - 1
+    widx = np.arange(num_sites) // per
+    shifts = jnp.asarray(
+        ((np.arange(num_sites) % per) * code_bits).astype(np.uint32)
+    )
+    return ((words[:, widx] >> shifts[None, :]) & mask).astype(jnp.int32)
 
 
-def _read_site_code(words, site, iota_w):
+def _read_site_code(words, site, iota_w, code_bits=4):
     """Code at a dynamic site: compare-select word + shift (no gather)."""
-    sw = (site >> 3).astype(jnp.uint32)
+    per_shift = {4: 3, 1: 5}[code_bits]  # log2(codes per word)
+    mask = (1 << code_bits) - 1
+    sw = (site >> per_shift).astype(jnp.uint32)
     word = jnp.sum(
         jnp.where(sw[:, None] == iota_w[None, :], words, jnp.uint32(0)),
         axis=1, dtype=jnp.uint32,
     )
-    return ((word >> ((site.astype(jnp.uint32) & 7) * 4)) & 15).astype(jnp.int32), word
+    sh = (site.astype(jnp.uint32) & ((1 << per_shift) - 1)) * code_bits
+    return ((word >> sh) & mask).astype(jnp.int32), word
 
 
-def _write_site_code(words, site, code, word_s, accept, iota_w):
-    """Masked nibble write of a site's code (no scatter)."""
-    sh = (site.astype(jnp.uint32) & 7) * 4
-    new_word = (word_s & ~(jnp.uint32(15) << sh)) | (code.astype(jnp.uint32) << sh)
-    sw = (site >> 3).astype(jnp.uint32)
+def _write_site_code(words, site, code, word_s, accept, iota_w, code_bits=4):
+    """Masked packed write of a site's code (no scatter)."""
+    per_shift = {4: 3, 1: 5}[code_bits]
+    mask_v = jnp.uint32((1 << code_bits) - 1)
+    sh = (site.astype(jnp.uint32) & ((1 << per_shift) - 1)) * code_bits
+    new_word = (word_s & ~(mask_v << sh)) | (code.astype(jnp.uint32) << sh)
+    sw = (site >> per_shift).astype(jnp.uint32)
     mask = (sw[:, None] == iota_w[None, :]) & accept[:, None]
     return jnp.where(mask, new_word[:, None], words)
 
@@ -318,14 +399,20 @@ def _flip_delta(words, rank, a, b, t: FastTables):
 
     if _ROW_SELECT == "gather":
         rows = jnp.take(t.big, rank, axis=0)
+        oh = None
     else:
         oh = jax.nn.one_hot(rank, t.num_ranks, dtype=jnp.float32)
         rows = jax.lax.dot(oh, t.big, precision=_P)
     sites = rows[:, :LK].astype(jnp.uint32)
-    strides = rows[:, LK: 2 * LK].astype(jnp.int32)
-    d2 = rows[:, 2 * LK: 2 * LK + L].astype(jnp.int32)
 
-    widx = sites >> 3
+    if t.binary:  # 1-bit packing: 32 sites per word
+        widx = sites >> 5
+        sh = sites & 31
+        code_mask = jnp.uint32(1)
+    else:  # 4-bit nibbles
+        widx = sites >> 3
+        sh = (sites & 7) * 4
+        code_mask = jnp.uint32(15)
     wsel = jnp.sum(
         jnp.where(
             widx[:, :, None] == iota_w[None, None, :],
@@ -334,25 +421,51 @@ def _flip_delta(words, rank, a, b, t: FastTables):
         ),
         axis=2,
     )
-    occv = ((wsel >> ((sites & 7) * 4)) & 15).astype(jnp.int32)
-    partial = jnp.sum((occv * strides).reshape(W, L, Ko), axis=2)
-    t_old = partial + a[:, None] * d2
-    t_new = t_old + (b - a)[:, None] * d2
+    occv = ((wsel >> sh) & code_mask).astype(jnp.int32)
 
-    po = t.plane_offset
     if t.binary:
-        # difference tables: select at min(t_old, t_new), apply flip sign
-        dghi = rows[:, po: po + LT].reshape(W, L, tmax)
-        dglo = rows[:, po + LT: po + 2 * LT].reshape(W, L, tmax)
-        t_min = jnp.minimum(t_old, t_new)
+        # compact binary index m = sum_j occ_j * 2^j over non-self slots;
+        # difference planes selected by a native-bf16 one-hot matmul (the
+        # 3-way bf16 split of each f32 plane makes the select bit-exact)
+        tc = t.tmax_c
+        LTc = L * tc
+        occ3 = occv.reshape(W, L, Ko)
+        m_idx = occ3[:, :, 0]
+        for j in range(1, Ko):
+            m_idx = m_idx + (occ3[:, :, j] << j)
+        if oh is None:
+            p = jnp.take(t.planes_bf, rank, axis=0).astype(jnp.float32)
+        else:
+            p = jax.lax.dot(
+                oh.astype(jnp.bfloat16),
+                t.planes_bf,
+                preferred_element_type=jnp.float32,
+            )
+        d_hi_t = p[:, :LTc] + p[:, LTc: 2 * LTc] + p[:, 2 * LTc: 3 * LTc]
+        d_lo_t = (
+            p[:, 3 * LTc: 4 * LTc]
+            + p[:, 4 * LTc: 5 * LTc]
+            + p[:, 5 * LTc: 6 * LTc]
+        )
+        iota_c = jnp.arange(tc, dtype=jnp.int32)
+        sel = m_idx[:, :, None] == iota_c[None, None, :]
         sign = (b - a).astype(jnp.float32)[:, None]
-        sel = t_min[:, :, None] == iota_t[None, None, :]
-        d_hi = sign * jnp.sum(jnp.where(sel, dghi, 0.0), axis=2)
-        d_lo = sign * jnp.sum(jnp.where(sel, dglo, 0.0), axis=2)
+        d_hi = sign * jnp.sum(
+            jnp.where(sel, d_hi_t.reshape(W, L, tc), 0.0), axis=2
+        )
+        d_lo = sign * jnp.sum(
+            jnp.where(sel, d_lo_t.reshape(W, L, tc), 0.0), axis=2
+        )
         de = jnp.sum(
             d_hi.astype(jnp.float64) + d_lo.astype(jnp.float64), axis=1
         )
     else:
+        strides = rows[:, LK: 2 * LK].astype(jnp.int32)
+        d2 = rows[:, 2 * LK: 2 * LK + L].astype(jnp.int32)
+        partial = jnp.sum((occv * strides).reshape(W, L, Ko), axis=2)
+        t_old = partial + a[:, None] * d2
+        t_new = t_old + (b - a)[:, None] * d2
+        po = t.plane_offset
         ghi = rows[:, po: po + LT].reshape(W, L, tmax)
         glo = rows[:, po + LT: po + 2 * LT].reshape(W, L, tmax)
         sel_new = t_new[:, :, None] == iota_t[None, None, :]
@@ -388,6 +501,7 @@ def make_fast_flip_step(t: FastTables):
     State: words [W, NW] uint32, enthalpy [W] f64, beta [W] f64,
     accepted [W] bool, naccept [W] int32.
     """
+    cb = 1 if t.binary else 4
     iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
     n_sub = t.active_sites.shape[0]
     amax = t.active_sites.shape[1]
@@ -411,7 +525,7 @@ def make_fast_flip_step(t: FastTables):
         s = jnp.sum(jnp.where(ai[:, None] == iota_a[None, :], row, 0), axis=1)
         rank = jnp.sum(jnp.where(sl_oh, t.sub_offset[None, :], 0), axis=1) + ai
 
-        a, word_s = _read_site_code(words, s, iota_w)
+        a, word_s = _read_site_code(words, s, iota_w, cb)
         ncod = jnp.sum(jnp.where(sl_oh, t.sub_n_codes[None, :], 0), axis=1)
         j = jax.random.randint(k_code, (W,), 0, jnp.maximum(ncod - 1, 1))
         b = j + (j >= a)
@@ -421,7 +535,7 @@ def make_fast_flip_step(t: FastTables):
         u = jax.random.uniform(k_acc, (W,), dtype=jnp.float64)
         accept = (dh * -state["beta"] >= 0) | (-state["beta"] * dh > jnp.log(u))
 
-        words = _write_site_code(words, s, b, word_s, accept, iota_w)
+        words = _write_site_code(words, s, b, word_s, accept, iota_w, cb)
         out = dict(state)
         out["words"] = words
         out["enthalpy"] = state["enthalpy"] + jnp.where(accept, dh, 0.0)
@@ -434,6 +548,7 @@ def make_fast_flip_step(t: FastTables):
 
 def make_fast_swap_step(t: FastTables):
     """Canonical two-site swap Metropolis step over packed walker state."""
+    cb = 1 if t.binary else 4
     iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
     n_sub = t.active_sites.shape[0]
     amax = t.active_sites.shape[1]
@@ -456,10 +571,13 @@ def make_fast_swap_step(t: FastTables):
         ai = jax.random.randint(k_site, (W,), 0, n_act)
         s1 = jnp.sum(jnp.where(ai[:, None] == iota_a[None, :], row, 0), axis=1)
         rank1 = off + ai
-        sp1, word_s1 = _read_site_code(words, s1, iota_w)
+        sp1, word_s1 = _read_site_code(words, s1, iota_w, cb)
 
         # occupancies of all active sites in the chosen sublattice
-        widx = (row >> 3).astype(jnp.uint32)
+        if cb == 1:
+            widx = (row >> 5).astype(jnp.uint32)
+        else:
+            widx = (row >> 3).astype(jnp.uint32)
         wsel = jnp.sum(
             jnp.where(
                 widx[:, :, None] == iota_w[None, None, :],
@@ -468,9 +586,14 @@ def make_fast_swap_step(t: FastTables):
             ),
             axis=2,
         )
-        occ_row = ((wsel >> ((row.astype(jnp.uint32) & 7) * 4)) & 15).astype(
-            jnp.int32
-        )
+        if cb == 1:
+            occ_row = ((wsel >> (row.astype(jnp.uint32) & 31)) & 1).astype(
+                jnp.int32
+            )
+        else:
+            occ_row = (
+                (wsel >> ((row.astype(jnp.uint32) & 7) * 4)) & 15
+            ).astype(jnp.int32)
         mask = (iota_a[None, :] < n_act[:, None]) & (occ_row != sp1[:, None])
         count = jnp.sum(mask, axis=1)
         m = jax.random.randint(k_pick, (W,), 0, jnp.maximum(count, 1))
@@ -483,8 +606,8 @@ def make_fast_swap_step(t: FastTables):
 
         # flip 1: s1 -> sp2 ; flip 2 (on updated words): s2 -> sp1
         de1, dw1 = _flip_delta(words, rank1, sp1, sp2, t)
-        words1 = _write_site_code(words, s1, sp2, word_s1, has, iota_w)
-        sp2_check, word_s2 = _read_site_code(words1, s2, iota_w)
+        words1 = _write_site_code(words, s1, sp2, word_s1, has, iota_w, cb)
+        sp2_check, word_s2 = _read_site_code(words1, s2, iota_w, cb)
         de2, dw2 = _flip_delta(words1, rank2, sp2_check, sp1, t)
         dh = de1 + de2
         if t.has_mu:
@@ -498,11 +621,13 @@ def make_fast_swap_step(t: FastTables):
         metro = (expo >= 0) | (expo > jnp.log(u))
         accept = metro
         do_swap = has & metro
-        words2 = _write_site_code(words1, s2, sp1, word_s2, do_swap, iota_w)
+        words2 = _write_site_code(
+            words1, s2, sp1, word_s2, do_swap, iota_w, cb
+        )
         # revert flip 1 where the swap does not go through
-        _, word_s1b = _read_site_code(words2, s1, iota_w)
+        _, word_s1b = _read_site_code(words2, s1, iota_w, cb)
         words_out = _write_site_code(
-            words2, s1, sp1, word_s1b, has & ~metro, iota_w
+            words2, s1, sp1, word_s1b, has & ~metro, iota_w, cb
         )
 
         out = dict(state)
