@@ -33,7 +33,7 @@ def main():
     from smol_tpu.benchmarks.systems import random_expansion, spinel_prim
     from smol_tpu.moca import Ensemble, Sampler
 
-    nwalkers = args.walkers or (64 if args.smoke else 4096)
+    nwalkers = args.walkers or (64 if args.smoke else 8192)
     nsteps = args.steps or (200 if args.smoke else 3000)
 
     prim = spinel_prim()
