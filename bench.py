@@ -1,16 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: Metropolis flip-attempts/sec/chip on a spinel CE.
 
-Runs canonical Metropolis swaps on a LiMn2O4-type spinel cluster expansion
-(2x2x2 supercell of the 14-site prim = 112 sites, 48 active cation sites,
-pair+triplet CE) vmapped over thousands of replica walkers, the BASELINE.md
-north-star configuration class.  Prints ONE JSON line:
+Default run: single-flip semigrand Metropolis on a LiMn2O4-type spinel
+cluster expansion (2x2x2 supercell of the 14-site prim = 112 sites, 48
+active cation sites, pair+triplet CE) vmapped over thousands of replica
+walkers — the BASELINE.md north-star configuration class.  Prints ONE JSON
+line:
 
     {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
 
 vs_baseline is value / 1e8 (the target flip-attempts/sec/chip).
 
-Usage: python bench.py [--smoke] [--walkers W] [--steps S]
+The other BASELINE.json benchmark configs are selectable with --config:
+
+    canonical   binary FCC Au-Cu CE, 4x4x4 supercell, 300 K swaps
+    sgc         semigrand ternary alloy CE, 6x6x6 supercell
+    spinel      (default) charge-neutral-class spinel SGC flips
+    spinel-ewald  spinel SGC with Ewald electrostatics (CompositeProcessor)
+    tempering   8192 replicas + parallel-tempering exchanges
+
+Usage: python bench.py [--config C] [--smoke] [--walkers W] [--steps S]
 """
 
 import argparse
@@ -21,55 +30,119 @@ import time
 import numpy as np
 
 
+def _rate(sampler, occu, nsteps, nwalkers):
+    """Time nsteps*nwalkers attempts through Sampler.run (compile excluded)."""
+    sampler.run(nsteps, occu, thin_by=nsteps)  # warmup (compile)
+    sampler.clear_samples()
+    t0 = time.perf_counter()
+    sampler.run(nsteps, thin_by=nsteps)
+    elapsed = time.perf_counter() - t0
+    return nwalkers * nsteps / elapsed
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config",
+        choices=["canonical", "sgc", "spinel", "spinel-ewald", "tempering"],
+        default="spinel",
+    )
     parser.add_argument("--smoke", action="store_true", help="small, CPU-friendly run")
     parser.add_argument("--walkers", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
-    parser.add_argument("--ewald", action="store_true", help="include Ewald term")
     args = parser.parse_args()
 
     import smol_tpu  # noqa: F401  (enables x64)
-    from smol_tpu.benchmarks.systems import random_expansion, spinel_prim
+    from smol_tpu.benchmarks.systems import (
+        fcc_binary_prim,
+        fcc_ternary_prim,
+        random_expansion,
+        spinel_prim,
+    )
     from smol_tpu.moca import Ensemble, Sampler
 
     nwalkers = args.walkers or (64 if args.smoke else 8192)
     nsteps = args.steps or (200 if args.smoke else 3000)
-
-    prim = spinel_prim()
-    ce = random_expansion(prim, {2: 5.3, 3: 3.7}, seed=11, ewald=args.ewald)
-    scm = np.diag([2, 2, 2])  # 112 sites, 48 active
-    # single-flip semigrand ensemble: one flip attempt per MC step
-    ensemble = Ensemble.from_cluster_expansion(
-        ce,
-        scm,
-        chemical_potentials={"Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0},
-    )
-
     rng = np.random.default_rng(0)
-    n_codes = np.array(
-        [len(sp) for sp in ensemble.processor.allowed_species], dtype=np.int64
-    )
-    occu = (rng.random((nwalkers, ensemble.num_sites)) * n_codes).astype(np.int32)
 
-    sampler = Sampler.from_ensemble(
-        ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
-    )
+    cfg = args.config
+    if cfg == "canonical":
+        ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+        scm = np.diag([2, 2, 2] if args.smoke else [4, 4, 4])
+        ensemble = Ensemble.from_cluster_expansion(ce, scm)
+        n = ensemble.num_sites
+        occu = np.zeros((nwalkers, n), dtype=np.int32)
+        for w in range(nwalkers):
+            occu[w, rng.choice(n, n // 2, replace=False)] = 1
+        sampler = Sampler.from_ensemble(
+            ensemble, temperature=300.0, nwalkers=nwalkers, seed=3
+        )
+        metric = "metropolis_swap_attempts_per_sec_per_chip_aucu_fcc"
+    elif cfg == "sgc":
+        ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+        scm = np.diag([3, 3, 3] if args.smoke else [6, 6, 6])
+        ensemble = Ensemble.from_cluster_expansion(
+            ce, scm, chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05}
+        )
+        n_codes = np.array(
+            [len(sp) for sp in ensemble.processor.allowed_species]
+        )
+        occu = (
+            rng.random((nwalkers, ensemble.num_sites)) * n_codes
+        ).astype(np.int32)
+        sampler = Sampler.from_ensemble(
+            ensemble, temperature=800.0, nwalkers=nwalkers, seed=3
+        )
+        metric = "metropolis_flip_attempts_per_sec_per_chip_ternary_sgc"
+    elif cfg in ("spinel", "spinel-ewald"):
+        ce = random_expansion(
+            spinel_prim(), {2: 5.3, 3: 3.7}, seed=11,
+            ewald=(cfg == "spinel-ewald"),
+        )
+        scm = np.diag([2, 2, 2])  # 112 sites, 48 active
+        ensemble = Ensemble.from_cluster_expansion(
+            ce, scm,
+            chemical_potentials={
+                "Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0
+            },
+        )
+        n_codes = np.array(
+            [len(sp) for sp in ensemble.processor.allowed_species]
+        )
+        occu = (
+            rng.random((nwalkers, ensemble.num_sites)) * n_codes
+        ).astype(np.int32)
+        sampler = Sampler.from_ensemble(
+            ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
+        )
+        metric = (
+            "metropolis_flip_attempts_per_sec_per_chip_spinel112"
+            if cfg == "spinel"
+            else "metropolis_flip_attempts_per_sec_per_chip_spinel112_ewald"
+        )
+    else:  # tempering
+        from smol_tpu.parallel import make_temperature_ladder
 
-    # warmup (compile)
-    sampler.run(nsteps, occu, thin_by=nsteps)
-    sampler.clear_samples()
+        ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+        ensemble = Ensemble.from_cluster_expansion(
+            ce, np.diag([3, 3, 3]),
+            chemical_potentials={"Au": 0.0, "Cu": 0.0},
+        )
+        ladder = make_temperature_ladder(300.0, 3000.0, nwalkers)
+        occu = rng.integers(
+            0, 2, (nwalkers, ensemble.num_sites)
+        ).astype(np.int32)
+        sampler = Sampler.from_ensemble(
+            ensemble, temperature=ladder, nwalkers=nwalkers, seed=3,
+            replica_exchange_period=10,
+        )
+        metric = "tempering_flip_attempts_per_sec_per_chip_8192_replicas"
 
-    t0 = time.perf_counter()
-    sampler.run(nsteps, thin_by=nsteps)
-    elapsed = time.perf_counter() - t0
-
-    attempts = nwalkers * nsteps
-    rate = attempts / elapsed
+    rate = _rate(sampler, occu, nsteps, nwalkers)
     print(
         json.dumps(
             {
-                "metric": "metropolis_flip_attempts_per_sec_per_chip_spinel112",
+                "metric": metric,
                 "value": rate,
                 "unit": "attempts/s",
                 "vs_baseline": rate / 1e8,
