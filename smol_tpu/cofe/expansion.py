@@ -15,7 +15,6 @@ import numpy as np
 
 from smol_tpu.cofe.space.clusterspace import ClusterSubspace
 from smol_tpu.serial import MSONable, jsanitize, process_decoded
-from smol_tpu.utils.exceptions import NotFittedError
 
 __all__ = ["ClusterExpansion", "RegressionData"]
 

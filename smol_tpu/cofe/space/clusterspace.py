@@ -16,8 +16,7 @@ from itertools import chain, groupby
 
 import numpy as np
 
-from smol_tpu.cofe.space.basis import IndicatorBasis, StandardBasis, basis_factory
-from smol_tpu.cofe.space.cluster import Cluster
+from smol_tpu.cofe.space.basis import IndicatorBasis, basis_factory
 from smol_tpu.cofe.space.domain import (
     Vacancy,
     get_allowed_species,

@@ -20,9 +20,7 @@ import secrets
 import numpy as np
 
 from smol_tpu.constants import kB
-from smol_tpu.moca.kernel.base import MetropolisAcceptMixin, ThermalKernelMixin
 from smol_tpu.moca.metadata import Metadata
-from smol_tpu.moca.trace import StepTrace, Trace
 
 __all__ = ["MulticellKernel", "MulticellMetropolis"]
 

@@ -32,7 +32,7 @@ when handed non-Partial callables.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
