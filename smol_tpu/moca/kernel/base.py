@@ -245,6 +245,17 @@ class MCKernel(ABC):
     def make_step_fn(self):
         """Build the pure batched step function state -> state."""
 
+    def make_chain_fn(self, n_steps: int):
+        """Optional fused multi-step chain function, or None.
+
+        When a kernel supports a persistent-chain device kernel (whole
+        windows of steps fused into one launch — see
+        smol_tpu.ops.pallas_chain), this returns ``fn(state, key) ->
+        state`` executing ``n_steps`` steps; the Sampler prefers it over
+        scanning :meth:`make_step_fn`.
+        """
+        return None
+
     def _get_fast_tables(self):
         """Fast-path tables when this kernel/usher supports them, else None.
 

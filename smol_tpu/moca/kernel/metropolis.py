@@ -25,7 +25,19 @@ def _zero_beta_step(metro_step, state, key):
 
 
 class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
-    """The classic Metropolis-Hastings kernel."""
+    """The classic Metropolis-Hastings kernel.
+
+    Args:
+        shared_proposals: allow the shared-proposal persistent-chain Pallas
+            kernel (smol_tpu.ops.pallas_chain) for single-flip steps on
+            TPU.  Walkers within one kernel block then share the proposal
+            SITE sequence (each chain stays an exact Metropolis chain; see
+            the pallas_chain module docstring for the statistical
+            contract).  Set False for fully independent per-walker
+            proposals.
+        chain_block_size: walkers per chain-kernel block (also the sharing
+            granularity).
+    """
 
     valid_mcushers = ALL_MCUSHERS
     valid_bias = ALL_BIAS
@@ -39,8 +51,12 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         seed=None,
         bias_type=None,
         bias_kwargs=None,
+        shared_proposals=True,
+        chain_block_size=1024,
         **kwargs,
     ):
+        self.shared_proposals = bool(shared_proposals)
+        self.chain_block_size = int(chain_block_size)
         super().__init__(
             temperature,
             ensemble,
@@ -91,6 +107,72 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         return devmc.make_metropolis_step(
             propose_fn, self._device_applier(), self._device_log_priori()
         )
+
+    def _get_chain_tables(self):
+        if not hasattr(self, "_chain_tables_cache"):
+            self._chain_tables_cache = self._build_chain_tables()
+        return self._chain_tables_cache
+
+    def _build_chain_tables(self):
+        """Shared-proposal chain tables for single-flip Metropolis.
+
+        Applies for plain Flip ushers with no bias/priori factor and no
+        tracked features; see smol_tpu.ops.pallas_chain for the full
+        applicability constraints (incl. composite CE + Ewald support).
+        """
+        from smol_tpu.moca.kernel.mcusher import Flip
+        from smol_tpu.ops import pallas_chain
+
+        if not self.shared_proposals:
+            return None
+        if self.track_features or self._bias is not None:
+            return None
+        if type(self.mcusher) is not Flip:
+            return None
+        if self.mcusher.device_log_priori() is not None:
+            return None
+        return pallas_chain.build_chain_tables(
+            self._ensemble.processor,
+            self._ensemble.sublattices,
+            mu_table=self._ensemble.chemical_potential_table,
+            sublattice_probabilities=self.mcusher.sublattice_probabilities,
+        )
+
+    def make_chain_fn(self, n_steps: int):
+        from smol_tpu.ops import pallas_chain
+
+        if not pallas_chain.runtime_supported():
+            return None
+        tables = self._get_chain_tables()
+        if tables is None:
+            return None
+        inner = pallas_chain.make_shared_proposal_chain(
+            tables,
+            n_steps,
+            block_size=self.chain_block_size,
+            interpret=pallas_chain.interpret_mode(),
+        )
+        if self._get_fast_tables() is None:
+            return inner
+
+        # the canonical walker state is packed (words): convert per window
+        from smol_tpu.ops.fastmc import pack_occupancy, unpack_occupancy
+
+        bits = self._fast_code_bits()
+        num_sites = self._ensemble.num_sites
+
+        def fn(state, key):
+            st = dict(state)
+            st["occupancy"] = unpack_occupancy(
+                st.pop("words"), num_sites, bits
+            )
+            st = inner(st, key)
+            st["words"] = pack_occupancy(
+                st.pop("occupancy"), num_sites, bits
+            )
+            return st
+
+        return fn
 
 
 class UniformlyRandom(MCKernel):

@@ -51,6 +51,7 @@ class Sampler:
         # new closures and would defeat jit caching across run() calls
         self._step_fn = None
         self._record_fns = {}
+        self._chain_fns = {}
 
     @classmethod
     def from_ensemble(
@@ -194,6 +195,29 @@ class Sampler:
 
     # ---------------- running ----------------
 
+    def _get_chain_fn(self, thin_by: int):
+        """Fused multi-step chain function for thin_by, or None.
+
+        Prefers the kernel's persistent-chain device kernel (one launch per
+        thinning window).  With replica exchange enabled the chain runs in
+        exchange-period segments with exchange sweeps between them (needs
+        thin_by divisible by the period).
+        """
+        if thin_by in self._chain_fns:
+            return self._chain_fns[thin_by]
+        fn = None
+        period = self._replica_exchange_period
+        if period is None:
+            fn = self._kernel.make_chain_fn(thin_by)
+        elif thin_by % period == 0:
+            inner = self._kernel.make_chain_fn(int(period))
+            if inner is not None:
+                from smol_tpu.parallel.tempering import make_tempering_chain
+
+                fn = make_tempering_chain(inner, thin_by // period)
+        self._chain_fns[thin_by] = fn
+        return fn
+
     def setup_sample(self, initial_occupancies):
         """Initialize the device state from initial occupancies [W, N]."""
         occupancies = np.atleast_2d(np.asarray(initial_occupancies, dtype=np.int32))
@@ -277,16 +301,19 @@ class Sampler:
             samples_per_launch = max(
                 1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
             )
-        if self._step_fn is None:
-            step_fn = self._kernel.make_step_fn()
-            if self._replica_exchange_period is not None:
-                from smol_tpu.parallel.tempering import make_tempering_step
+        chain_fn = self._get_chain_fn(thin_by)
+        step_fn = None
+        if chain_fn is None:
+            if self._step_fn is None:
+                step_fn = self._kernel.make_step_fn()
+                if self._replica_exchange_period is not None:
+                    from smol_tpu.parallel.tempering import make_tempering_step
 
-                step_fn = make_tempering_step(
-                    step_fn, self._replica_exchange_period
-                )
-            self._step_fn = step_fn
-        step_fn = self._step_fn
+                    step_fn = make_tempering_step(
+                        step_fn, self._replica_exchange_period
+                    )
+                self._step_fn = step_fn
+            step_fn = self._step_fn
         if thin_by not in self._record_fns:
             self._record_fns[thin_by] = self._make_record_fn(thin_by)
         record_fn = self._record_fns[thin_by]
@@ -312,9 +339,17 @@ class Sampler:
         while done < nsamples:
             launch = min(samples_per_launch, nsamples - done)
             key, subkey = jax.random.split(key)
-            self._state, traces = run_chain(
-                self._state, subkey, step_fn, record_fn, int(launch), int(thin_by)
-            )
+            if chain_fn is not None:
+                from smol_tpu.ops.mc import run_chain_fused
+
+                self._state, traces = run_chain_fused(
+                    self._state, subkey, chain_fn, record_fn, int(launch)
+                )
+            else:
+                self._state, traces = run_chain(
+                    self._state, subkey, step_fn, record_fn, int(launch),
+                    int(thin_by),
+                )
             host_traces = Trace(**{k: np.asarray(v) for k, v in traces.items()})
             self._container.save_sampled_traces(host_traces, thinned_by=thin_by)
             done += launch

@@ -622,3 +622,38 @@ def run_chain(state, key, step_fn, record_fn, nsamples: int, thin_by: int):
     return _run_chain_static(
         state, key, step_fn, record_fn, int(nsamples), int(thin_by)
     )
+
+
+def _run_chain_fused_impl(state, key, chain_fn, record_fn, nsamples: int):
+    """Chain-kernel driver: one fused multi-step call per recorded sample.
+
+    ``chain_fn(state, key) -> state`` executes a whole thinning window on
+    device (e.g. the shared-proposal Pallas chain,
+    smol_tpu.ops.pallas_chain) and maintains ``window_naccept`` itself.
+    """
+
+    def body(st, sample_key):
+        st = dict(st)
+        st["window_naccept"] = jnp.zeros_like(st["naccept"])
+        st = chain_fn(st, sample_key)
+        return st, record_fn(st)
+
+    state = dict(state)
+    state["window_naccept"] = jnp.zeros_like(state["naccept"])
+    keys = jax.random.split(key, nsamples)
+    state, traces = jax.lax.scan(body, state, keys)
+    state.pop("window_naccept", None)
+    return state, traces
+
+
+_run_chain_fused_static = jax.jit(
+    _run_chain_fused_impl,
+    static_argnames=("chain_fn", "record_fn", "nsamples"),
+)
+
+
+def run_chain_fused(state, key, chain_fn, record_fn, nsamples: int):
+    """Run nsamples fused chain windows, recording a trace after each."""
+    return _run_chain_fused_static(
+        state, key, chain_fn, record_fn, int(nsamples)
+    )

@@ -1,0 +1,638 @@
+"""Shared-proposal persistent-chain Pallas kernel for Metropolis flips.
+
+The fastest way to run single-flip Metropolis on a TPU.  The per-walker
+bottleneck of the other fast paths (smol_tpu.ops.fastmc, ops.pallas_mc) is
+that the proposal site differs per walker, so every static-table access
+must be a one-hot MXU matmul over all active sites — Theta(ranks x
+table-width) MACs per attempt, plus (in the XLA path) HBM round trips for
+the selected rows.
+
+This kernel removes that cost entirely by making the proposal site a
+SCALAR per (walker-block, step): the site sequence is drawn up front with
+``jax.random`` (state-independent), stored in SMEM, and every per-site
+table row is fetched with a scalar dynamic slice from VMEM-resident
+tables.  The whole chain (thousands of steps) runs inside one kernel
+invocation with the occupancy and the double-float enthalpy in VMEM.
+
+Statistical contract (READ THIS):
+
+- Each chain remains an EXACT Metropolis chain: the site sequence is
+  exogenous (independent of every walker's state), acceptance uniforms
+  and proposed codes are drawn per walker, and the stationary
+  distribution is untouched.  Per-chain averages are unbiased.
+- Walkers within one block (``block_size``, default 1024) share the same
+  site-visit sequence, so they are not fully independent: cross-walker
+  correlations reduce the effective number of independent replicas for
+  *ensemble* (across-walker) averages.  Blocks use independent sequences.
+  Disable with ``Sampler.from_ensemble(..., shared_proposals=False)`` to
+  fall back to fully independent per-walker proposals.
+
+Numerical contract (same as ops.pallas_mc): energy deltas and the running
+enthalpy accumulate in double-float (two f32 words, ~2^-45 relative);
+acceptance evaluates in f32; recorded trace enthalpies are recomputed in
+exact f64 from occupancies at thinning points, so traces carry no drift.
+With an Ewald term the delta's electrostatic part accumulates its dot
+product in f32 (~1e-6 relative) — acceptance-grade, not bookkeeping-grade;
+bookkeeping stays exact via the thin-point recomputation.
+
+Reference analog: the per-flip delta kernels
+smol/utils/cluster/evaluator.pyx:211 and smol/utils/cluster/ewald.pyx:9,
+with the Python step loop (smol/moca/kernel/base.py:145) replaced by an
+in-VMEM fori_loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smol_tpu.ops.pallas_mc import _df_add, _pos_bits, _uniform01
+
+__all__ = [
+    "ChainTables",
+    "build_chain_tables",
+    "make_shared_proposal_chain",
+    "runtime_supported",
+    "interpret_mode",
+]
+
+_P = jax.lax.Precision.HIGHEST
+MAX_TENSOR = 63  # 2*TM + 1 lane columns must fit one 128-lane tile
+
+
+def interpret_mode() -> bool:
+    """True when the kernel should run in Pallas interpret mode (CPU tests).
+
+    Set ``SMOL_TPU_CHAIN_INTERPRET=1`` to exercise the chain kernel without
+    TPU hardware (slow; for tests only).
+    """
+    import os
+
+    return os.environ.get("SMOL_TPU_CHAIN_INTERPRET", "") not in ("", "0")
+
+
+def runtime_supported() -> bool:
+    """True when the chain kernel can run here (TPU, or interpret mode)."""
+    if interpret_mode():
+        return True
+    try:
+        d = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    kind = (getattr(d, "device_kind", "") or "").lower()
+    return "tpu" in kind or d.platform == "tpu"
+
+
+@dataclass(frozen=True)
+class ChainTables:
+    """Static operands of the shared-proposal chain kernel.
+
+    All tables are rank-indexed (rank = position in the concatenation of
+    the active sublattices' site lists).  ``gm`` folds the non-self tensor
+    strides into a per-rank gather matrix so that the partial tensor index
+    of every local cluster is one [L, Rpad] x [Rpad, wb] matmul against
+    the rank-compacted occupancy; ``gcat`` holds the coefficient-folded
+    energy tables (f64 split into two f32 planes) plus the self-stride
+    column, fetched per step with a scalar dynamic slice.
+    """
+
+    num_sites: int
+    num_ranks: int  # R
+    rpad: int  # R padded (occupancy rows / matmul contraction)
+    n_local: int  # L (padded to a power of two for the df reduction)
+    tensor_max: int  # TM
+    binary: bool  # every active sublattice has exactly 2 codes
+    gm: jnp.ndarray  # [R, L, Rpad] f32: strides onto neighbor ranks
+    gcat: jnp.ndarray  # [R, L, 2*TM+1] f32: g_hi | g_lo | d2
+    ncod: jnp.ndarray  # [1, R] int32 codes per rank
+    rank_sites: jnp.ndarray  # [R] int32 supercell site of each rank
+    cum_probs: np.ndarray  # [S] f64 sublattice pick cdf (host)
+    sub_offset: np.ndarray  # [S] int32 rank offset per sublattice (host)
+    n_active: np.ndarray  # [S] int32 (host)
+    has_mu: bool
+    mu_cols: int
+    mu: jnp.ndarray | None  # [R, 2*C] f32: mu_hi | mu_lo
+    has_ewald: bool
+    ew_v: jnp.ndarray | None  # [R, 2, Rpad] f32: V_hi | V_lo rows
+    ew_c: jnp.ndarray | None  # [1, 2*R] f32 SMEM: C_hi | C_lo constants
+
+
+def _hash_uniform01(seed, i, slot, shape):
+    """Counter-based uniform (0, 1] f32 for interpret mode (CPU tests).
+
+    A murmur3-finalizer hash of (seed, step, slot, lane): statistically
+    adequate for test-scale chains; real TPU runs use the hardware PRNG.
+    """
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    x = x + seed * jnp.int32(2654435761 & 0x7FFFFFFF)
+    x = x ^ (i * jnp.int32(40503) + jnp.int32(slot) * jnp.int32(2246822519 & 0x7FFFFFFF))
+    for mult in (-2048144789, -1028477387):
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(13 if mult < -2000000000 else 16))
+        x = x * jnp.int32(mult)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.int32(16))
+    r = jax.lax.bitwise_and(x, jnp.int32(0x7FFFFFFF))
+    return (
+        jax.lax.shift_right_logical(r, jnp.int32(7)).astype(jnp.float32) + 1.0
+    ) * (2.0**-24)
+
+
+def _hash_randint(seed, i, slot, shape, bound):
+    """Counter-based integer in [0, bound) for interpret mode."""
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    x = x + seed * jnp.int32(2654435761 & 0x7FFFFFFF)
+    x = x ^ (i * jnp.int32(40503) + jnp.int32(slot) * jnp.int32(2246822519 & 0x7FFFFFFF))
+    for mult in (-2048144789, -1028477387):
+        x = x ^ jax.lax.shift_right_logical(x, jnp.int32(13 if mult < -2000000000 else 16))
+        x = x * jnp.int32(mult)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.int32(16))
+    r = jax.lax.bitwise_and(x, jnp.int32(0x7FFFFFFF))
+    return jax.lax.rem(r, bound)
+
+
+def _split_f64(x):
+    """Split f64 -> (hi, lo) f32 with hi + lo == x exactly."""
+    hi = np.asarray(x, dtype=np.float64).astype(np.float32)
+    lo = (np.asarray(x, dtype=np.float64) - hi.astype(np.float64)).astype(
+        np.float32
+    )
+    return hi, lo
+
+
+def build_chain_tables(processor, sublattices, mu_table=None,
+                       sublattice_probabilities=None):
+    """Build ChainTables, or None when the system is unsupported.
+
+    Requirements: a packed CE-style processor (or a CompositeProcessor of
+    one such + one EwaldProcessor), active sublattices with default
+    (arange) encodings and no site restrictions, every non-self cluster
+    slot pointing at an active rank or a single-species (code-0) site,
+    positive self strides (as in ops.fastmc), tensor sizes <= 63, and —
+    when an Ewald term is present — binary codes on every active site.
+    """
+    from smol_tpu.ops.fastmc import MAX_CODES, site_local_arrays
+
+    # ---- unpack an optional composite into CE + Ewald parts ----
+    ewald_proc = None
+    ce_proc = processor
+    subs = getattr(processor, "processors", None)
+    if subs is not None:
+        from smol_tpu.moca.processor.ewald import EwaldProcessor
+
+        ce_parts = [p for p in subs if getattr(p, "fast_path_ok", False)]
+        ew_parts = [p for p in subs if isinstance(p, EwaldProcessor)]
+        if len(ce_parts) != 1 or len(ce_parts) + len(ew_parts) != len(subs):
+            return None
+        ce_proc = ce_parts[0]
+        ewald_proc = ew_parts[0] if ew_parts else None
+
+    arrays = site_local_arrays(ce_proc)
+    if arrays is None:
+        return None
+    sites3, strides3, d2, g3, tmax = arrays
+    n, L0, K = sites3.shape
+    if tmax > MAX_TENSOR:
+        return None
+
+    active = [s for s in sublattices if s.is_active]
+    if not active:
+        return None
+    for s in active:
+        if not np.array_equal(s.encoding, np.arange(len(s.encoding))):
+            return None
+        if len(s.active_sites) != len(s.sites):
+            return None  # restricted (frozen) sites: cannot fold
+
+    n_codes = np.ones(n, dtype=np.int64)
+    for s in sublattices:
+        n_codes[s.sites] = len(s.encoding)
+    if n_codes.max() > MAX_CODES:
+        return None
+
+    rank_sites = np.concatenate(
+        [np.asarray(s.active_sites, dtype=np.int64) for s in active]
+    )
+    R = len(rank_sites)
+    rank_of_site = -np.ones(n, dtype=np.int64)
+    rank_of_site[rank_sites] = np.arange(R)
+    rpad = max(8, -(-R // 8) * 8)
+
+    # every valid cluster needs a positive self stride (fold into d2)
+    valid_cluster = strides3.sum(axis=2) > 0
+    if np.any(valid_cluster & (d2 <= 0)):
+        return None
+
+    L = 8
+    while L < L0:
+        L *= 2
+
+    gm = np.zeros((R, L, rpad), dtype=np.float64)
+    d2r = np.zeros((R, L), dtype=np.float64)
+    g3r = np.zeros((R, L, tmax), dtype=np.float64)
+    for ri, site in enumerate(rank_sites):
+        d2r[ri, :L0] = d2[site]
+        g3r[ri, :L0] = g3[site]
+        for l in range(L0):
+            for k in range(K):
+                st = strides3[site, l, k]
+                nb = sites3[site, l, k]
+                if st > 0 and nb != site:
+                    nr = rank_of_site[nb]
+                    if nr < 0:
+                        if n_codes[nb] != 1:
+                            return None  # frozen multi-code neighbor
+                        continue  # single-species neighbor: code 0
+                    gm[ri, l, nr] += st
+    if gm.max(initial=0) >= 2**24 or d2r.max(initial=0) >= 2**24:
+        return None
+
+    g_hi, g_lo = _split_f64(g3r)
+    gcat = np.concatenate(
+        [g_hi, g_lo, d2r[:, :, None].astype(np.float32)], axis=2
+    )
+
+    sub_n_codes = np.array([len(s.encoding) for s in active], dtype=np.int64)
+    binary = bool((sub_n_codes == 2).all())
+    ncod = np.ones((1, R), dtype=np.int32)
+    off = 0
+    nact = np.array([len(s.active_sites) for s in active], dtype=np.int64)
+    for i, s in enumerate(active):
+        ncod[0, off: off + nact[i]] = len(s.encoding)
+        off += nact[i]
+    sub_offset = np.concatenate([[0], np.cumsum(nact)[:-1]]).astype(np.int64)
+
+    has_mu = mu_table is not None
+    mu = None
+    mu_cols = 0
+    if has_mu:
+        mu_r = np.asarray(mu_table, dtype=np.float64)[rank_sites]
+        mu_cols = mu_r.shape[1]
+        mh, ml = _split_f64(mu_r)
+        mu = np.concatenate([mh, ml], axis=1)
+
+    # ---- Ewald folding (binary active sites only) ----
+    has_ewald = ewald_proc is not None
+    ew_v = ew_c = None
+    if has_ewald:
+        if not binary:
+            return None
+        coef = float(np.atleast_1d(ewald_proc.coefs)[0])
+        M = np.asarray(ewald_proc.ewald_matrix, dtype=np.float64)
+        inds = np.asarray(ewald_proc._ewald_inds)
+        n_ew = M.shape[0]
+
+        def row_of(site, code):
+            r = int(inds[site, code]) if code < inds.shape[1] else -1
+            return r if 0 <= r < n_ew else -1
+
+        # fixed (single-code) occupied rows
+        fixed_rows = [
+            row_of(t, 0) for t in range(n) if n_codes[t] == 1
+        ]
+        fixed_rows = [r for r in fixed_rows if r >= 0]
+        r0 = np.array([row_of(s, 0) for s in rank_sites])
+        r1 = np.array([row_of(s, 1) for s in rank_sites])
+
+        def mrow(r):  # M row, 0 when the species is a vacancy
+            return M[r] if r >= 0 else np.zeros(n_ew)
+
+        def mdiag(r):
+            return M[r, r] if r >= 0 else 0.0
+
+        V = np.zeros((R, R), dtype=np.float64)
+        C = np.zeros(R, dtype=np.float64)
+        for u in range(R):
+            dm = mrow(r1[u]) - mrow(r0[u])  # [n_ew]
+            c = mdiag(r1[u]) - mdiag(r0[u])
+            c += 2.0 * sum(dm[fr] for fr in fixed_rows)
+            for t in range(R):
+                if t == u:
+                    continue
+                m0 = dm[r0[t]] if r0[t] >= 0 else 0.0
+                m1 = dm[r1[t]] if r1[t] >= 0 else 0.0
+                V[u, t] = 2.0 * (m1 - m0)
+                c += 2.0 * m0
+            C[u] = c
+        V *= coef
+        C *= coef
+        vh, vl = _split_f64(np.pad(V, ((0, 0), (0, rpad - R))))
+        ew_v = np.stack([vh, vl], axis=1)  # [R, 2, rpad]
+        ch, cl = _split_f64(C)
+        ew_c = np.concatenate([ch, cl])[None, :]  # [1, 2R]
+
+    if sublattice_probabilities is None:
+        probs = np.full(len(active), 1.0 / len(active))
+    else:
+        probs = np.asarray(sublattice_probabilities, dtype=np.float64)
+        if len(probs) != len(active):
+            return None
+
+    # VMEM budget: all tables stay resident in the kernel (~16 MB/core on
+    # v5e, shared with the walker state and per-step intermediates).  The
+    # gather matrix scales as R^2 * L, so large supercells must fall back
+    # to the per-walker paths until HBM-streamed tables land.
+    table_bytes = 4 * (
+        gm.size + gcat.size + (mu.size if mu is not None else 0)
+        + (ew_v.size if ew_v is not None else 0)
+    )
+    if table_bytes > 8 * 2**20:
+        return None
+
+    return ChainTables(
+        num_sites=n,
+        num_ranks=R,
+        rpad=rpad,
+        n_local=L,
+        tensor_max=tmax,
+        binary=binary,
+        gm=jnp.asarray(gm, dtype=jnp.float32),
+        gcat=jnp.asarray(gcat),
+        ncod=jnp.asarray(ncod),
+        rank_sites=jnp.asarray(rank_sites, dtype=jnp.int32),
+        cum_probs=np.cumsum(probs),
+        sub_offset=sub_offset,
+        n_active=nact,
+        has_mu=has_mu,
+        mu_cols=mu_cols,
+        mu=None if mu is None else jnp.asarray(mu),
+        has_ewald=has_ewald,
+        ew_v=None if ew_v is None else jnp.asarray(ew_v),
+        ew_c=None if ew_c is None else jnp.asarray(ew_c),
+    )
+
+
+def rank_sequence(tables: ChainTables, key, shape):
+    """Draw a state-independent proposal rank sequence of ``shape``.
+
+    Sublattice choice follows the sublattice probabilities; the site is
+    uniform within the sublattice — the same proposal distribution as the
+    reference Flip usher (smol/moca/kernel/mcusher.py:151).
+    """
+    k_sl, k_site = jax.random.split(key)
+    S = len(tables.cum_probs)
+    cum = jnp.asarray(tables.cum_probs)
+    u = jax.random.uniform(k_sl, shape)
+    sl = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
+    sl = jnp.minimum(sl, S - 1)
+    n_act = jnp.asarray(tables.n_active, dtype=jnp.int32)[sl]
+    off = jnp.asarray(tables.sub_offset, dtype=jnp.int32)[sl]
+    ai = jax.random.randint(k_site, shape, 0, n_act)
+    return off + ai
+
+
+def make_shared_proposal_chain(
+    tables: ChainTables,
+    n_steps: int,
+    block_size: int = 1024,
+    interpret: bool = False,
+):
+    """Build ``fn(state, key) -> state`` running n_steps shared-site flips.
+
+    ``state`` uses plain occupancies: ``occupancy`` [W, N] int32,
+    ``enthalpy`` [W] f64, ``beta`` [W] f64, ``naccept`` [W] int32,
+    ``accepted`` [W] bool.  W must be a multiple of ``block_size`` (or
+    equal to it).  See the module docstring for the statistical contract.
+    """
+    t = tables
+    R, RP, L, TM = t.num_ranks, t.rpad, t.n_local, t.tensor_max
+    C = t.mu_cols
+    binary = t.binary
+    has_mu, has_ewald = t.has_mu, t.has_ewald
+
+    def kernel(seed_ref, seq_ref, ncod_ref, ewc_ref,
+               occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
+               gm_ref, gcat_ref, mu_ref, ewv_ref,
+               occ_out, ehi_out, elo_out, nacc_out):
+        wb = occ_ref.shape[1]
+        block = pl.program_id(0)
+        block_seed = seed_ref[0] + block * jnp.int32(7919)
+        if not interpret:
+            pltpu.prng_seed(block_seed)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (RP, wb), 0)
+        beta = beta_ref[:]  # [1, wb] f32
+
+        def step(i, carry):
+            occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
+            u = seq_ref[block, i]  # scalar rank
+
+            # ---- per-rank static rows (scalar dynamic slices) ----
+            gm_u = gm_ref[pl.ds(u, 1)][0]  # [L, RP] f32
+            gcat_u = gcat_ref[pl.ds(u, 1)][0]  # [L, 2*TM+1] f32
+            d2_u = jax.lax.broadcast_in_dim(
+                gcat_u[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+            )
+
+            # ---- current and proposed codes ----
+            a = jnp.sum(
+                jnp.where(iota_r == u, occ, 0.0),
+                axis=0, keepdims=True,
+            )  # [1, wb] f32
+            if binary:
+                b = 1.0 - a
+            else:
+                nc = jnp.maximum(ncod_ref[0, u] - 1, 1)
+                if interpret:
+                    j = _hash_randint(block_seed, i, 0, (1, wb), nc)
+                else:
+                    j = jax.lax.rem(_pos_bits((1, wb)), nc)
+                jf = j.astype(jnp.float32)
+                b = jf + (jf >= a).astype(jnp.float32)
+
+            # ---- tensor indices of all local clusters ----
+            t_part = jax.lax.dot(gm_u, occ, precision=_P)  # [L, wb]
+            t_old = t_part + a * d2_u
+            t_new = t_part + b * d2_u
+
+            # ---- energy delta: per-l select from the g planes ----
+            zero = jnp.zeros((L, wb), jnp.float32)
+            hn = zero
+            ho = zero
+            ln_ = zero
+            lo_ = zero
+            for tt in range(TM):
+                ttf = jnp.float32(tt)
+                ghc = jax.lax.broadcast_in_dim(
+                    gcat_u[:, tt: tt + 1], (L, wb), (0, 1)
+                )
+                glc = jax.lax.broadcast_in_dim(
+                    gcat_u[:, TM + tt: TM + tt + 1], (L, wb), (0, 1)
+                )
+                mn = t_new == ttf
+                mo = t_old == ttf
+                hn = jnp.where(mn, ghc, hn)
+                ho = jnp.where(mo, ghc, ho)
+                ln_ = jnp.where(mn, glc, ln_)
+                lo_ = jnp.where(mo, glc, lo_)
+            dh, dl = _df_add(hn, ln_, -ho, -lo_)
+            width = L
+            while width > 1:
+                half = width // 2
+                dh, dl = _df_add(
+                    dh[:half, :], dl[:half, :],
+                    dh[half:width, :], dl[half:width, :],
+                )
+                width = half
+            # dh, dl: [1, wb]
+
+            # ---- Ewald part (binary): dE = sign * (C_u + V_u . occ) ----
+            if has_ewald:
+                ewv_u = ewv_ref[pl.ds(u, 1)][0]  # [2, RP] f32
+                sign = b - a  # [1, wb] in {-1, +1}
+                vh = jax.lax.dot(ewv_u[0:1, :], occ, precision=_P)
+                vl = jax.lax.dot(ewv_u[1:2, :], occ, precision=_P)
+                ch = ewc_ref[0, u]
+                cl = ewc_ref[0, R + u]
+                eh, el = _df_add(vh, vl, ch, cl)
+                dh, dl = _df_add(dh, dl, sign * eh, sign * el)
+
+            # ---- chemical work ----
+            if has_mu:
+                mu_u = mu_ref[pl.ds(u, 1)]  # [1, 2C] f32
+                zf = jnp.zeros((1, wb), jnp.float32)
+                mah = zf
+                mal = zf
+                mbh = zf
+                mbl = zf
+                for c in range(C):
+                    cf = jnp.float32(c)
+                    mh_c = jax.lax.broadcast_in_dim(
+                        mu_u[:, c: c + 1], (1, wb), (0, 1)
+                    )
+                    ml_c = jax.lax.broadcast_in_dim(
+                        mu_u[:, C + c: C + c + 1], (1, wb), (0, 1)
+                    )
+                    mah = jnp.where(a == cf, mh_c, mah)
+                    mal = jnp.where(a == cf, ml_c, mal)
+                    mbh = jnp.where(b == cf, mh_c, mbh)
+                    mbl = jnp.where(b == cf, ml_c, mbl)
+                dwh, dwl = _df_add(mbh, mbl, -mah, -mal)
+                dh, dl = _df_add(dh, dl, -dwh, -dwl)
+
+            # ---- accept + state update ----
+            if interpret:
+                uu = _hash_uniform01(block_seed, i, 1, (1, wb))
+            else:
+                uu = _uniform01((1, wb))
+            expo = -beta * dh
+            accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
+            upd = jnp.logical_and(iota_r == u, jnp.broadcast_to(accept, (RP, wb)))
+            occ = jnp.where(upd, jnp.broadcast_to(b, (RP, wb)), occ)
+            zf = jnp.zeros_like(dh)
+            ehi, elo = _df_add(
+                ehi, elo, jnp.where(accept, dh, zf), jnp.where(accept, dl, zf)
+            )
+            nacc = nacc + accept.astype(jnp.int32)
+            return occ, ehi, elo, nacc
+
+        carry = (occ_ref[:], ehi_ref[:], elo_ref[:], nacc_ref[:])
+        occ, ehi, elo, nacc = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_steps), step, carry
+        )
+        occ_out[:] = occ
+        ehi_out[:] = ehi
+        elo_out[:] = elo
+        nacc_out[:] = nacc
+
+    rank_sites = t.rank_sites  # [R] int32
+    ncod_dev = t.ncod
+    mu_dev = t.mu if has_mu else jnp.zeros((R, 2), jnp.float32)
+    ewv_dev = t.ew_v if has_ewald else jnp.zeros((R, 2, RP), jnp.float32)
+    ewc_dev = t.ew_c if has_ewald else jnp.zeros((1, 2 * R), jnp.float32)
+
+    def fn(state, key):
+        occu = state["occupancy"]
+        W = occu.shape[0]
+        # pad the walker axis to a lane-aligned multiple of the block size
+        wb = min(block_size, -(-W // 128) * 128)
+        Wp = -(-W // wb) * wb
+        pad = Wp - W
+        grid = Wp // wb
+
+        k_seed, k_seq = jax.random.split(jax.random.fold_in(key, 13))
+        seed = jax.random.randint(
+            k_seed, (1,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+        )
+        seq = rank_sequence(tables, k_seq, (grid, n_steps)).astype(jnp.int32)
+
+        occ_rank = occu[:, rank_sites].astype(jnp.float32)  # [W, R]
+        occ_t = jnp.pad(occ_rank, ((0, pad), (0, RP - R))).T  # [RP, Wp]
+        ehi = jnp.pad(state["enthalpy"], (0, pad)).astype(jnp.float32)
+        elo = (
+            jnp.pad(state["enthalpy"], (0, pad)) - ehi.astype(jnp.float64)
+        ).astype(jnp.float32)
+        beta32 = jnp.pad(state["beta"], (0, pad)).astype(jnp.float32)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((RP, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Wp), jnp.int32),
+        )
+        blk = lambda rows: pl.BlockSpec(  # noqa: E731
+            (rows, wb), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        full = lambda arr: pl.BlockSpec(  # noqa: E731
+            arr.shape, lambda i: tuple(0 for _ in arr.shape),
+            memory_space=pltpu.VMEM,
+        )
+        with jax.enable_x64(False):
+            occ_n, ehi_n, elo_n, nacc_n = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                out_shape=out_shapes,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # rank sequences
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # ncod
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # ewald consts
+                    blk(RP),  # occ
+                    blk(1),  # beta
+                    blk(1),  # ehi
+                    blk(1),  # elo
+                    blk(1),  # nacc
+                    full(t.gm),
+                    full(t.gcat),
+                    full(mu_dev),
+                    full(ewv_dev),
+                ],
+                out_specs=(blk(RP), blk(1), blk(1), blk(1)),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=interpret,
+            )(
+                seed,
+                seq,
+                ncod_dev,
+                ewc_dev,
+                occ_t,
+                beta32[None, :],
+                ehi[None, :],
+                elo[None, :],
+                jnp.zeros((1, Wp), jnp.int32),
+                t.gm,
+                t.gcat,
+                mu_dev,
+                ewv_dev,
+            )
+
+        out = dict(state)
+        new_codes = occ_n.T[:W, :R].astype(jnp.int32)  # [W, R]
+        out["occupancy"] = occu.at[:, rank_sites].set(new_codes)
+        out["enthalpy"] = ehi_n[0, :W].astype(jnp.float64) + elo_n[0, :W].astype(
+            jnp.float64
+        )
+        nacc_w = nacc_n[0, :W]
+        out["naccept"] = state["naccept"] + nacc_w
+        out["accepted"] = nacc_w > 0  # coarse: any accept in the window
+        out["window_naccept"] = (
+            state.get("window_naccept", jnp.zeros_like(nacc_w)) + nacc_w
+        )
+        return out
+
+    return fn

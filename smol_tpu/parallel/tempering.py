@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["tempering_exchange", "make_tempering_step", "make_temperature_ladder"]
+__all__ = [
+    "tempering_exchange",
+    "make_tempering_step",
+    "make_tempering_chain",
+    "make_temperature_ladder",
+]
 
 
 def make_temperature_ladder(
@@ -72,6 +77,34 @@ def tempering_exchange(state: dict, key, phase) -> dict:
     out = dict(state)
     out["beta"] = new_beta
     return out
+
+
+def make_tempering_chain(chain_fn, n_segments: int):
+    """Fused-chain parallel tempering: segments + exchanges.
+
+    ``chain_fn(state, key) -> state`` runs one exchange period's worth of
+    MC steps (e.g. the shared-proposal Pallas chain); a replica-exchange
+    sweep runs between segments with alternating pairing phases.  The
+    state's "pt_counter" counts SEGMENTS here (the step-wise wrapper
+    counts steps).
+    """
+
+    def fn(state, key):
+        def body(st, k):
+            k_seg, k_ex = jax.random.split(k)
+            st = chain_fn(st, k_seg)
+            counter = st["pt_counter"] + 1
+            exchanged = tempering_exchange(st, k_ex, counter % 2)
+            st = dict(st)
+            st["beta"] = exchanged["beta"]
+            st["pt_counter"] = counter
+            return st, None
+
+        keys = jax.random.split(key, n_segments)
+        state, _ = jax.lax.scan(body, state, keys)
+        return state
+
+    return fn
 
 
 def make_tempering_step(step_fn, exchange_period: int = 10):

@@ -1,0 +1,233 @@
+"""Tests of the shared-proposal persistent-chain kernel (ops.pallas_chain).
+
+Runs in Pallas interpret mode so the kernel logic is exercised without TPU
+hardware.  Invariants:
+
+- accumulated enthalpy equals an exact f64 recomputation from the final
+  occupancy (the strongest delta-correctness check), across every
+  supported system class: binary/ternary, canonical/semigrand, spinel,
+  and composite CE + Ewald;
+- semigrand averages match brute-force Boltzmann enumeration on a tiny
+  cell (the shared site sequence leaves every chain's stationary
+  distribution exact);
+- the Sampler selects the chain path and its recorded traces stay
+  self-consistent;
+- applicability guards fall back (return None) for unsupported systems.
+"""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smol_tpu.benchmarks.systems import (
+    fcc_binary_prim,
+    fcc_ternary_prim,
+    random_expansion,
+    spinel_prim,
+)
+from smol_tpu.constants import kB
+from smol_tpu.moca import Ensemble, Sampler
+from smol_tpu.ops import pallas_chain
+
+
+def _random_occu(ensemble, nwalkers, seed=0):
+    rng = np.random.default_rng(seed)
+    n_codes = np.array([len(sp) for sp in ensemble.processor.allowed_species])
+    return (
+        rng.random((nwalkers, ensemble.num_sites)) * n_codes
+    ).astype(np.int32)
+
+
+def _chain_state(sampler, occu):
+    state = dict(sampler.setup_sample(occu))
+    state.pop("words", None)
+    state["occupancy"] = jnp.asarray(occu)
+    return state
+
+
+def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0):
+    sampler = Sampler.from_ensemble(
+        ensemble, temperature=temperature, nwalkers=nwalkers, seed=3
+    )
+    tables = pallas_chain.build_chain_tables(
+        ensemble.processor,
+        ensemble.sublattices,
+        mu_table=ensemble.chemical_potential_table,
+    )
+    assert tables is not None
+    occu = _random_occu(ensemble, nwalkers)
+    state = _chain_state(sampler, occu)
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, n_steps, block_size=nwalkers, interpret=True
+    )
+    out = fn(state, jax.random.key(0))
+    kernel = sampler.mckernel
+    feats = jax.vmap(kernel.full_features_fn())(out["occupancy"])
+    exact = feats @ jnp.asarray(kernel.natural_params)
+    err = np.max(np.abs(np.asarray(out["enthalpy"]) - np.asarray(exact)))
+    scale = max(1.0, float(np.max(np.abs(np.asarray(exact)))))
+    assert err / scale < 1e-10, (err, scale)
+    assert np.asarray(out["naccept"]).mean() > 0
+    return out
+
+
+def test_accum_parity_binary_semigrand():
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.3, "Cu": 0.0}
+    )
+    _accum_parity(ens)
+
+
+def test_accum_parity_ternary_semigrand():
+    ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]),
+        chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05},
+    )
+    _accum_parity(ens)
+
+
+def test_accum_parity_spinel_ewald():
+    ce = random_expansion(spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=True)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([1, 1, 1]),
+        chemical_potentials={
+            "Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0
+        },
+    )
+    out = _accum_parity(ens, temperature=1000.0)
+    # occupancies must stay within code bounds
+    occ = np.asarray(out["occupancy"])
+    n_codes = np.array([len(sp) for sp in ens.processor.allowed_species])
+    assert (occ >= 0).all() and (occ < n_codes[None, :]).all()
+
+
+def test_walker_padding():
+    """Walker counts that are not lane multiples are padded internally."""
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.1, "Cu": 0.0}
+    )
+    _accum_parity(ens, nwalkers=5, n_steps=60)
+
+
+def test_semigrand_matches_enumeration(monkeypatch):
+    """Chain-kernel SGC averages match exact Boltzmann enumeration."""
+    from smol_tpu.cofe import ClusterSubspace
+    from smol_tpu.cofe.expansion import ClusterExpansion
+    from smol_tpu.crystal import Lattice, Structure
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+
+    a = 3.8
+    lat = Lattice(np.array([[0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]) * a)
+    prim = Structure(lat, [{"Au": 0.5, "Cu": 0.5}], [[0, 0, 0]])
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 3.0})
+    rng = np.random.default_rng(5)
+    coefs = rng.normal(scale=0.02, size=cs.num_corr_functions)
+    coefs[0] = -0.5
+    ce = ClusterExpansion(cs, coefs)
+
+    temperature = 2000.0
+    mus = {"Au": 0.05, "Cu": -0.05}
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials=mus
+    )
+    beta = 1 / (kB * temperature)
+    energies, weights = [], []
+    feat_fn = None
+    for bits in product((0, 1), repeat=ens.num_sites):
+        occu = np.array(bits, dtype=np.int32)
+        feats = ens.compute_feature_vector(occu)
+        h = float(np.dot(feats, ens.natural_parameters))
+        energies.append(h)
+        weights.append(-beta * h)
+    weights = np.exp(weights - np.max(weights))
+    exact = float(np.dot(energies, weights) / weights.sum())
+
+    nwalkers = 16
+    occu = np.random.default_rng(4).integers(
+        0, 2, (nwalkers, ens.num_sites)
+    ).astype(np.int32)
+    sampler = Sampler.from_ensemble(
+        ens, temperature=temperature, nwalkers=nwalkers, seed=23
+    )
+    assert sampler._get_chain_fn(20) is not None, "chain path not selected"
+    sampler.run(4000, occu, thin_by=20)
+    mc_mean = sampler.samples.mean_enthalpy(discard=50)
+    sem = np.sqrt(
+        sampler.samples.enthalpy_variance(discard=50)
+        / sampler.samples.get_enthalpies(discard=50).shape[0]
+    )
+    # shared site sequences correlate walkers: widen the tolerance by the
+    # worst case (one effective walker per block)
+    assert abs(mc_mean - exact) < max(30 * sem, 2e-2), (mc_mean, exact, sem)
+
+
+def test_sampler_trace_consistency(monkeypatch):
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.3, "Cu": 0.0}
+    )
+    nwalkers = 4
+    sampler = Sampler.from_ensemble(
+        ens, temperature=900.0, nwalkers=nwalkers, seed=3
+    )
+    assert sampler._get_chain_fn(25) is not None
+    occu = _random_occu(ens, nwalkers)
+    sampler.run(100, occu, thin_by=25)
+    occs = sampler.samples.get_occupancies(flat=False)
+    feats = np.asarray(
+        jax.vmap(jax.vmap(sampler.mckernel.full_features_fn()))(occs)
+    )
+    stored = sampler.samples.get_feature_vectors(flat=False)
+    assert np.abs(feats - stored).max() < 1e-12
+    enth = sampler.samples.get_enthalpies(flat=False)
+    recomputed = feats @ ens.natural_parameters
+    assert np.abs(enth - recomputed).max() < 1e-10
+
+
+def test_guards():
+    """Unsupported systems must fall back (None), not crash."""
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.0, "Cu": 0.0}
+    )
+    # restricted sites on an active sublattice -> unsupported
+    subl = ens.sublattices
+    subl[0].restrict_sites(subl[0].sites[:2])
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, subl, mu_table=ens.chemical_potential_table
+    )
+    assert tables is None
+    subl[0].reset_restricted_sites()
+
+    # wrong sublattice-probability count -> unsupported
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices,
+        sublattice_probabilities=[0.5, 0.5],
+    )
+    assert tables is None
+
+
+def test_kernel_fallback_off_tpu():
+    """Without TPU or interpret mode the kernel reports unavailable."""
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.0, "Cu": 0.0}
+    )
+    sampler = Sampler.from_ensemble(
+        ens, temperature=500.0, nwalkers=2, seed=1
+    )
+    # the suite runs on CPU without the interpret env var by default
+    import os
+
+    if os.environ.get("SMOL_TPU_CHAIN_INTERPRET"):
+        pytest.skip("interpret mode forced in this environment")
+    assert sampler.mckernel.make_chain_fn(10) is None
