@@ -30,14 +30,31 @@ import time
 import numpy as np
 
 
-def _rate(sampler, occu, nsteps, nwalkers):
-    """Time nsteps*nwalkers attempts through Sampler.run (compile excluded)."""
-    sampler.run(nsteps, occu, thin_by=nsteps)  # warmup (compile)
-    sampler.clear_samples()
+def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
+    """Median attempts/s over reps through Sampler.run (compile excluded).
+
+    Prints per-rep diagnostics (rates, std, config) to stderr; the caller
+    prints the single JSON result line to stdout.
+    """
+    thin_by = thin_by or nsteps
     t0 = time.perf_counter()
-    sampler.run(nsteps, thin_by=nsteps)
-    elapsed = time.perf_counter() - t0
-    return nwalkers * nsteps / elapsed
+    sampler.run(nsteps, occu, thin_by=thin_by)  # warmup (includes compile)
+    warmup = time.perf_counter() - t0
+    rates = []
+    for _ in range(reps):
+        sampler.clear_samples()
+        t0 = time.perf_counter()
+        sampler.run(nsteps, thin_by=thin_by)
+        rates.append(nwalkers * nsteps / (time.perf_counter() - t0))
+    rates = np.array(rates)
+    print(
+        f"bench: nsteps={nsteps} thin_by={thin_by} nwalkers={nwalkers} "
+        f"reps={reps} warmup={warmup:.1f}s "
+        f"rates_M={np.array2string(rates / 1e6, precision=1)} "
+        f"median={np.median(rates)/1e6:.1f}M std={rates.std()/1e6:.1f}M",
+        file=sys.stderr,
+    )
+    return float(np.median(rates))
 
 
 def main():
@@ -62,7 +79,7 @@ def main():
     from smol_tpu.moca import Ensemble, Sampler
 
     nwalkers = args.walkers or (64 if args.smoke else 8192)
-    nsteps = args.steps or (200 if args.smoke else 3000)
+    nsteps = args.steps or (200 if args.smoke else 30000)
     rng = np.random.default_rng(0)
 
     cfg = args.config
@@ -138,7 +155,10 @@ def main():
         )
         metric = "tempering_flip_attempts_per_sec_per_chip_8192_replicas"
 
-    rate = _rate(sampler, occu, nsteps, nwalkers)
+    thin_by = nsteps
+    if cfg == "tempering":
+        thin_by = nsteps - nsteps % 10 or nsteps
+    rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
     print(
         json.dumps(
             {

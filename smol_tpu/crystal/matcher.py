@@ -1,23 +1,38 @@
 """Structure matching: supercell-matrix detection and site mapping.
 
-A pragmatic replacement for the two uses the reference makes of pymatgen's
-StructureMatcher (smol/cofe/space/clusterspace.py:175-202):
+A native replacement for the two uses the reference makes of pymatgen's
+StructureMatcher (smol/cofe/space/clusterspace.py:175-202,
+smol/cofe/wrangling/wrangler.py:670-797):
 
-- :meth:`StructureMatcher.get_supercell_matrix`: the integer matrix relating
-  a (possibly ordered) structure's lattice to the prim lattice,
+- :meth:`StructureMatcher.get_supercell_matrix`: the integer matrix
+  relating a (possibly relaxed: rotated, strained, rattled) structure's
+  lattice to the prim lattice,
 - :meth:`StructureMatcher.get_mapping`: the site correspondence between a
-  structure and the same-size supercell of the prim.
+  structure and the same-size ideal supercell of the prim,
+- :meth:`StructureMatcher.fit`: equivalence of two structures.
 
-This matcher handles exact and mildly distorted supercells (lattice must be
-an integer combination of prim vectors within ``ltol`` after scaling; site
-matching allows a rigid fractional translation).  Heavily relaxed/rotated
-cells that pymatgen's Niggli-reduction matcher would catch are out of scope
-and raise StructureMatchError.
+Robustness model (mirroring pymatgen's semantics):
+
+- ``ltol``: fractional tolerance on lattice-vector lengths.  A rotated
+  and/or strained cell is detected by searching integer combinations of
+  prim vectors whose lengths and mutual angles match the structure's
+  lattice vectors (rotation-invariant Gram matching), not by requiring
+  the raw ``L_s @ inv(L_p)`` to be integer.
+- ``angle_tol``: degrees of tolerance on lattice-vector angles.
+- ``stol``: site tolerance, normalized as in pymatgen — the cartesian
+  displacement divided by ``(V / nsites)^(1/3)`` must not exceed it.
+
+Site mapping works in fractional coordinates (which removes the rigid
+rotation and the homogeneous strain exactly), tries candidate rigid
+translations anchored on compatible site pairs, refines each candidate to
+the rms-minimizing translation, and solves the assignment with the
+Hungarian algorithm (scipy), never greedily.
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy.optimize import linear_sum_assignment
 
 from smol_tpu.crystal.coord import pbc_diff
 from smol_tpu.utils.exceptions import StructureMatchError
@@ -30,26 +45,143 @@ def _species_compatible(site_species, allowed) -> bool:
     return all(sp in allowed for sp in site_species)
 
 
+def _norms(matrix):
+    return np.linalg.norm(matrix, axis=1)
+
+
+def _shell_points(lp, target, rtol):
+    """Integer combinations c with | c @ lp | within rtol of target."""
+    # |c| <= |c @ lp| * sigma_max(inv(lp))
+    smax = np.linalg.norm(np.linalg.inv(lp), ord=2)
+    b = int(np.ceil(target * (1 + rtol) * smax)) + 1
+    rng = np.arange(-b, b + 1)
+    cand = np.array(np.meshgrid(rng, rng, rng, indexing="ij")).reshape(3, -1).T
+    vecs = cand @ lp
+    norms = np.linalg.norm(vecs, axis=1)
+    lo, hi = target * (1 - rtol), target * (1 + rtol)
+    sel = (norms >= lo) & (norms <= hi)
+    return cand[sel], vecs[sel], norms[sel]
+
+
 class StructureMatcher:
-    """Match structures to supercells of a primitive cell."""
+    """Match structures to supercells of a primitive cell.
+
+    Handles relaxed DFT structures: rigid rotations, homogeneous strain up
+    to ``ltol``/``angle_tol``, and site rattling up to ``stol`` (pymatgen
+    normalization).
+    """
 
     def __init__(self, ltol: float = 0.2, stol: float = 0.3, angle_tol: float = 5, **_):
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
 
-    def get_supercell_matrix(self, structure, prim):
-        """Integer supercell matrix M with structure.lattice ~ M @ prim.lattice.
+    # ------------------------------------------------------------------
+    # lattice matching
+    # ------------------------------------------------------------------
 
-        Returns None when no integer relation holds within tolerance.
+    def get_supercell_matrix(self, structure, prim):
+        """Integer M with structure.lattice ~ R @ (M @ prim.lattice).
+
+        R is an arbitrary rigid rotation; lengths may deviate by ``ltol``
+        (fractional) and angles by ``angle_tol`` (degrees).  Returns None
+        when no integer relation holds within tolerance.
         """
-        m_float = structure.lattice.matrix @ prim.lattice.inv_matrix
+        lp = np.asarray(prim.lattice.matrix, dtype=np.float64)
+        ls = np.asarray(structure.lattice.matrix, dtype=np.float64)
+        vol_p = abs(np.linalg.det(lp))
+        vol_s = abs(np.linalg.det(ls))
+        n = int(round(vol_s / vol_p))
+        if n < 1 or abs(vol_s / vol_p - n) > max(0.1, 3 * self.ltol * n):
+            return None
+
+        # fast path: same orientation, integer relation directly
+        m_float = ls @ np.linalg.inv(lp)
         m_int = np.round(m_float).astype(np.int64)
-        if np.abs(np.linalg.det(m_int)) < 0.5:
+        if (
+            abs(abs(np.linalg.det(m_int)) - n) < 0.5
+            and np.max(np.abs(m_float - m_int)) <= self.ltol
+        ):
+            return m_int
+
+        # general path: rotation-invariant search over integer combinations
+        # of prim vectors matching the structure vectors' lengths + angles
+        s_norms = _norms(ls)
+        cos_tol = np.deg2rad(self.angle_tol)
+        s_unit = ls / s_norms[:, None]
+        s_ang = np.array(
+            [
+                np.arccos(np.clip(np.dot(s_unit[i], s_unit[j]), -1, 1))
+                for i, j in ((0, 1), (0, 2), (1, 2))
+            ]
+        )
+
+        shells = [_shell_points(lp, t, self.ltol) for t in s_norms]
+        if any(len(s[0]) == 0 for s in shells):
             return None
-        if np.max(np.abs(m_float - m_int)) > self.ltol:
-            return None
-        return m_int
+
+        c1s, v1s, n1s = shells[0]
+        c2s, v2s, n2s = shells[1]
+        c3s, v3s, n3s = shells[2]
+        best = None
+        best_err = np.inf
+        for i1 in range(len(c1s)):
+            v1, nn1 = v1s[i1], n1s[i1]
+            ang12 = np.arccos(
+                np.clip(v2s @ v1 / (n2s * nn1), -1, 1)
+            )
+            ok2 = np.abs(ang12 - s_ang[0]) <= cos_tol
+            if not ok2.any():
+                continue
+            for i2 in np.nonzero(ok2)[0]:
+                v2, nn2 = v2s[i2], n2s[i2]
+                ang13 = np.arccos(np.clip(v3s @ v1 / (n3s * nn1), -1, 1))
+                ang23 = np.arccos(np.clip(v3s @ v2 / (n3s * nn2), -1, 1))
+                ok3 = (np.abs(ang13 - s_ang[1]) <= cos_tol) & (
+                    np.abs(ang23 - s_ang[2]) <= cos_tol
+                )
+                for i3 in np.nonzero(ok3)[0]:
+                    m = np.stack([c1s[i1], c2s[i2], c3s[i3]])
+                    d = np.linalg.det(m)
+                    if abs(abs(d) - n) > 0.5:
+                        continue
+                    err = (
+                        abs(nn1 - s_norms[0]) / s_norms[0]
+                        + abs(nn2 - s_norms[1]) / s_norms[1]
+                        + abs(n3s[i3] - s_norms[2]) / s_norms[2]
+                        + abs(ang12[i2] - s_ang[0])
+                        + abs(ang13[i3] - s_ang[1])
+                        + abs(ang23[i3] - s_ang[2])
+                    )
+                    if err < best_err:
+                        best_err = err
+                        best = m.astype(np.int64)
+        return best
+
+    # ------------------------------------------------------------------
+    # site mapping
+    # ------------------------------------------------------------------
+
+    def _assignment(self, sup_frac, str_frac, lattice_matrix, compat, t):
+        """Hungarian assignment of shifted structure sites to supercell sites.
+
+        Returns (mapping, max normalized distance, mean pbc displacement).
+        """
+        diff = pbc_diff(
+            (str_frac + t)[:, None, :], sup_frac[None, :, :]
+        )  # [ns, Nsup, 3] fractional
+        cart = diff @ lattice_matrix
+        d2 = np.sum(cart * cart, axis=-1)
+        big = 1e12
+        cost = np.where(compat, d2, big)
+        row, col = linear_sum_assignment(cost)
+        if (cost[row, col] >= big).any():
+            return None, np.inf, None
+        d = np.sqrt(cost[row, col])
+        mapping = np.empty(len(str_frac), dtype=np.int64)
+        mapping[row] = col
+        mean_disp = diff[row, col].mean(axis=0)
+        return mapping, d.max(), mean_disp
 
     def get_mapping(self, supercell, structure):
         """Map structure sites onto supercell sites.
@@ -57,54 +189,65 @@ class StructureMatcher:
         Returns an int array ``mapping`` of length ``len(structure)`` where
         ``supercell[mapping[k]]`` is the site hosting ``structure[k]`` (the
         contract of pymatgen StructureMatcher.get_mapping used by the
-        reference at clusterspace.py:1183).  Allows one rigid fractional
-        translation; species of each structure site must be allowed at the
-        matched supercell site.
+        reference at clusterspace.py:1183), or None when no mapping exists
+        within ``stol``.  Rotation and homogeneous strain are removed by
+        working in fractional coordinates; the rigid translation is refined
+        to the rms minimizer; assignment is Hungarian.
         """
         if len(structure) > len(supercell):
             return None
-        sup_frac = supercell.frac_coords
-        str_frac = structure.frac_coords
+        sup_frac = np.asarray(supercell.frac_coords, dtype=np.float64)
+        str_frac = np.asarray(structure.frac_coords, dtype=np.float64)
+        lat = np.asarray(supercell.lattice.matrix, dtype=np.float64)
         allowed = [list(site.species.keys()) for site in supercell]
-        # include auto-vacancy compatibility implicitly: a structure site only
-        # needs its own species to be allowed at the target.
         str_species = [list(site.species.keys()) for site in structure]
 
-        # candidate rigid translations: map structure site 0 onto each
-        # compatible supercell site (plus the null translation first)
-        candidates = [np.zeros(3)]
-        for j in range(len(supercell)):
-            if _species_compatible(str_species[0], allowed[j]):
-                candidates.append(sup_frac[j] - str_frac[0])
+        compat = np.array(
+            [
+                [_species_compatible(sp, al) for al in allowed]
+                for sp in str_species
+            ],
+            dtype=bool,
+        )
+        if not compat.any(axis=1).all():
+            return None
 
-        tol = self.stol / max(len(supercell) ** (1 / 3), 1.0)
-        for t in candidates:
-            shifted = str_frac + t
-            diff = pbc_diff(shifted[:, None, :], sup_frac[None, :, :])
-            close = np.all(np.abs(diff) < tol, axis=-1)
-            mapping = np.full(len(structure), -1, dtype=np.int64)
-            used = set()
-            ok = True
-            for k in range(len(structure)):
-                hits = [
-                    j
-                    for j in np.nonzero(close[k])[0]
-                    if j not in used and _species_compatible(str_species[k], allowed[j])
-                ]
-                if not hits:
-                    ok = False
-                    break
-                # choose the closest hit
-                dists = np.abs(diff[k, hits]).max(axis=-1)
-                j = hits[int(np.argmin(dists))]
-                mapping[k] = j
-                used.add(j)
-            if ok:
-                return mapping
-        return None
+        vol = abs(np.linalg.det(lat))
+        norm_len = (vol / len(supercell)) ** (1 / 3)
+        max_d = self.stol * norm_len
+
+        # candidate rigid translations: structure site 0 onto each
+        # compatible supercell site (null translation first)
+        cands = [np.zeros(3)]
+        for j in np.nonzero(compat[0])[0]:
+            cands.append(sup_frac[j] - str_frac[0])
+
+        best_mapping = None
+        best_d = np.inf
+        for t in cands:
+            mapping, dmax, mean_disp = self._assignment(
+                sup_frac, str_frac, lat, compat, t
+            )
+            if mapping is None:
+                continue
+            # refine to the rms-minimizing translation and redo once
+            t2 = t - mean_disp
+            mapping2, dmax2, _ = self._assignment(
+                sup_frac, str_frac, lat, compat, t2
+            )
+            if mapping2 is not None and dmax2 < dmax:
+                mapping, dmax = mapping2, dmax2
+            if dmax < best_d:
+                best_d = dmax
+                best_mapping = mapping
+                if dmax <= 0.1 * max_d:
+                    break  # essentially exact; stop searching
+        if best_mapping is None or best_d > max_d:
+            return None
+        return best_mapping
 
     def fit(self, s1, s2) -> bool:
-        """True if two same-size structures match site-for-site."""
+        """True if two structures are equivalent (same sites and species)."""
         if len(s1) != len(s2):
             return False
         m = self.get_supercell_matrix(s1, s2)

@@ -63,6 +63,7 @@ __all__ = [
 
 _P = jax.lax.Precision.HIGHEST
 MAX_TENSOR = 63  # 2*TM + 1 lane columns must fit one 128-lane tile
+MAX_CHUNK_STEPS = 2048  # SMEM budget for the per-block site sequence
 
 
 def interpret_mode() -> bool:
@@ -389,6 +390,7 @@ def make_shared_proposal_chain(
     n_steps: int,
     block_size: int = 1024,
     interpret: bool = False,
+    chunk_steps: int | None = None,
 ):
     """Build ``fn(state, key) -> state`` running n_steps shared-site flips.
 
@@ -403,7 +405,7 @@ def make_shared_proposal_chain(
     binary = t.binary
     has_mu, has_ewald = t.has_mu, t.has_ewald
 
-    def kernel(seed_ref, seq_ref, ncod_ref, ewc_ref,
+    def kernel(seed_ref, nvalid_ref, seq_ref, ncod_ref, ewc_ref,
                occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
                gm_ref, gcat_ref, mu_ref, ewv_ref,
                occ_out, ehi_out, elo_out, nacc_out):
@@ -531,7 +533,7 @@ def make_shared_proposal_chain(
 
         carry = (occ_ref[:], ehi_ref[:], elo_ref[:], nacc_ref[:])
         occ, ehi, elo, nacc = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_steps), step, carry
+            jnp.int32(0), nvalid_ref[0], step, carry
         )
         occ_out[:] = occ
         ehi_out[:] = ehi
@@ -553,11 +555,21 @@ def make_shared_proposal_chain(
         pad = Wp - W
         grid = Wp // wb
 
+        # chunk the step axis so the SMEM-resident site sequence stays small
+        chunk = min(n_steps, chunk_steps or MAX_CHUNK_STEPS)
+        n_chunks = -(-n_steps // chunk)
+
         k_seed, k_seq = jax.random.split(jax.random.fold_in(key, 13))
-        seed = jax.random.randint(
-            k_seed, (1,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+        seed0 = jax.random.randint(
+            k_seed, (), 0, np.int32(2**30 - 1), dtype=jnp.int32
         )
-        seq = rank_sequence(tables, k_seq, (grid, n_steps)).astype(jnp.int32)
+        seqs = rank_sequence(
+            tables, k_seq, (n_chunks, grid, chunk)
+        ).astype(jnp.int32)
+        nvalid = jnp.minimum(
+            chunk, n_steps - jnp.arange(n_chunks) * chunk
+        ).astype(jnp.int32)
+        seeds = seed0 + jnp.arange(n_chunks, dtype=jnp.int32) * jnp.int32(999983)
 
         occ_rank = occu[:, rank_sites].astype(jnp.float32)  # [W, R]
         occ_t = jnp.pad(occ_rank, ((0, pad), (0, RP - R))).T  # [RP, Wp]
@@ -581,45 +593,67 @@ def make_shared_proposal_chain(
             memory_space=pltpu.VMEM,
         )
         with jax.enable_x64(False):
-            occ_n, ehi_n, elo_n, nacc_n = pl.pallas_call(
-                kernel,
-                grid=(grid,),
-                out_shape=out_shapes,
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # rank sequences
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # ncod
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # ewald consts
-                    blk(RP),  # occ
-                    blk(1),  # beta
-                    blk(1),  # ehi
-                    blk(1),  # elo
-                    blk(1),  # nacc
-                    full(t.gm),
-                    full(t.gcat),
-                    full(mu_dev),
-                    full(ewv_dev),
-                ],
-                out_specs=(blk(RP), blk(1), blk(1), blk(1)),
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",),
-                ),
-                interpret=interpret,
-            )(
-                seed,
-                seq,
-                ncod_dev,
-                ewc_dev,
+
+            def chunk_body(carry, xs):
+                occ_c, ehi_c, elo_c, nacc_c = carry
+                seed_c, nvalid_c, seq_c = xs
+                outs = pl.pallas_call(
+                    kernel,
+                    grid=(grid,),
+                    out_shape=out_shapes,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # sequences
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # ncod
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # ewald consts
+                        blk(RP),  # occ
+                        blk(1),  # beta
+                        blk(1),  # ehi
+                        blk(1),  # elo
+                        blk(1),  # nacc
+                        full(t.gm),
+                        full(t.gcat),
+                        full(mu_dev),
+                        full(ewv_dev),
+                    ],
+                    out_specs=(blk(RP), blk(1), blk(1), blk(1)),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("arbitrary",),
+                    ),
+                    interpret=interpret,
+                )(
+                    seed_c[None],
+                    nvalid_c[None],
+                    seq_c,
+                    ncod_dev,
+                    ewc_dev,
+                    occ_c,
+                    beta32[None, :],
+                    ehi_c,
+                    elo_c,
+                    nacc_c,
+                    t.gm,
+                    t.gcat,
+                    mu_dev,
+                    ewv_dev,
+                )
+                return outs, None
+
+            carry0 = (
                 occ_t,
-                beta32[None, :],
                 ehi[None, :],
                 elo[None, :],
                 jnp.zeros((1, Wp), jnp.int32),
-                t.gm,
-                t.gcat,
-                mu_dev,
-                ewv_dev,
             )
+            if n_chunks == 1:
+                (occ_n, ehi_n, elo_n, nacc_n), _ = chunk_body(
+                    carry0, (seeds[0], nvalid[0], seqs[0])
+                )
+            else:
+                (occ_n, ehi_n, elo_n, nacc_n), _ = jax.lax.scan(
+                    chunk_body, carry0, (seeds, nvalid, seqs)
+                )
 
         out = dict(state)
         new_codes = occ_n.T[:W, :R].astype(jnp.int32)  # [W, R]

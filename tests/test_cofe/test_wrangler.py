@@ -120,3 +120,51 @@ def test_wrangler_serialization(wrangler_with_data):
     np.testing.assert_allclose(
         loaded.feature_matrix, wrangler.feature_matrix, atol=1e-12
     )
+
+
+def test_wrangler_relaxed_entries():
+    """Relaxed-DFT-style entries (rotated + strained + rattled) map correctly.
+
+    The reference relies on pymatgen's StructureMatcher for this
+    (wrangler.py:670-797); the native matcher must process such entries and
+    produce the same correlation vectors as the ideal structures.
+    """
+    from tests.test_crystal.test_matcher import _distort, _rotation
+
+    prim = fcc_binary_prim()
+    subspace = ClusterSubspace.from_cutoffs(prim, {2: 4.0})
+    rng = np.random.default_rng(21)
+    coefs = rng.normal(scale=0.1, size=subspace.num_corr_functions)
+    coefs[0] = -2.0
+
+    wrangler = StructureWrangler(subspace)
+    scm = np.diag([2, 2, 2])
+    processor = ClusterExpansionProcessor(
+        subspace, scm, np.ones(subspace.num_corr_functions)
+    )
+    ideal_corrs = []
+    for k in range(5):
+        occu = generate_random_ordered_occupancy(processor, rng=rng)
+        structure = processor.structure_from_occupancy(occu)
+        corr = subspace.corr_from_occupancy(occu, scm)
+        energy = float(coefs @ corr * processor.size)
+        distorted = _distort(
+            structure,
+            rotate=_rotation([1, k + 1, 2], 0.3 + 0.1 * k),
+            strain=np.diag([0.02, -0.01, 0.015]),
+            rattle=0.06,
+            translate=[0.2, 0.1, -0.3],
+            seed=k,
+        )
+        wrangler.add_entry(
+            ComputedStructureEntry(distorted, energy), verbose=False
+        )
+        ideal_corrs.append(corr)
+    assert wrangler.num_structures == 5
+    np.testing.assert_allclose(
+        wrangler.feature_matrix, np.array(ideal_corrs), atol=1e-10
+    )
+    energies = wrangler.get_property_vector("energy")
+    np.testing.assert_allclose(
+        wrangler.feature_matrix @ coefs, energies, atol=1e-10
+    )

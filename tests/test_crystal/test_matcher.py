@@ -1,0 +1,154 @@
+"""StructureMatcher robustness tests: relaxed-DFT-style inputs.
+
+The reference pipeline leans on pymatgen's StructureMatcher to map RELAXED
+training structures — rotated, strained, and rattled — back onto ideal
+prim supercells (reference clusterspace.py:175-202, wrangler.py:670-797).
+These tests apply each distortion (and combinations) to random ordered
+supercells and require the full corr_from_structure path to recover the
+undistorted mapping.
+"""
+
+import numpy as np
+import pytest
+
+from smol_tpu.benchmarks.systems import fcc_binary_prim, spinel_prim
+from smol_tpu.capp import generate_random_ordered_occupancy
+from smol_tpu.cofe import ClusterSubspace
+from smol_tpu.crystal import Lattice, Structure
+from smol_tpu.crystal.matcher import StructureMatcher
+from smol_tpu.moca.processor.expansion import ClusterExpansionProcessor
+
+
+def _rotation(axis, angle):
+    axis = np.asarray(axis, dtype=float)
+    axis /= np.linalg.norm(axis)
+    k = np.array(
+        [
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ]
+    )
+    return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+
+
+def _distort(structure, rotate=None, strain=None, rattle=0.0, translate=None,
+             seed=0):
+    """A new Structure with rotation/strain/rattling/translation applied."""
+    rng = np.random.default_rng(seed)
+    lat = structure.lattice.matrix.copy()
+    if strain is not None:
+        lat = lat @ (np.eye(3) + np.asarray(strain))
+    if rotate is not None:
+        lat = lat @ rotate.T
+    cart = structure.frac_coords @ lat
+    if rattle:
+        cart = cart + rng.normal(scale=rattle, size=cart.shape)
+    if translate is not None:
+        cart = cart + np.asarray(translate)
+    frac = cart @ np.linalg.inv(lat)
+    return Structure(
+        Lattice(lat), [dict(s.species) for s in structure], frac % 1
+    )
+
+
+@pytest.fixture(scope="module")
+def fcc_setup():
+    prim = fcc_binary_prim()
+    subspace = ClusterSubspace.from_cutoffs(prim, {2: 4.0})
+    scm = np.diag([2, 2, 2])
+    proc = ClusterExpansionProcessor(
+        subspace, scm, np.ones(subspace.num_corr_functions)
+    )
+    rng = np.random.default_rng(11)
+    occu = generate_random_ordered_occupancy(proc, rng=rng)
+    structure = proc.structure_from_occupancy(occu)
+    ref_corr = subspace.corr_from_occupancy(occu, scm)
+    return prim, subspace, scm, structure, ref_corr
+
+
+def test_ideal_roundtrip(fcc_setup):
+    prim, subspace, scm, structure, ref_corr = fcc_setup
+    found = subspace.scmatrix_from_structure(structure)
+    assert abs(abs(np.linalg.det(found)) - 8) < 0.5
+    corr = subspace.corr_from_structure(structure)
+    np.testing.assert_allclose(corr, ref_corr, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "rotate,strain,rattle",
+    [
+        (_rotation([1, 2, 3], 0.7), None, 0.0),  # pure rotation
+        (None, np.diag([0.02, -0.015, 0.01]), 0.0),  # anisotropic strain
+        (None, [[0, 0.01, 0], [0.01, 0, 0], [0, 0, 0]], 0.0),  # shear
+        (None, None, 0.08),  # rattled sites (Angstrom)
+        (_rotation([1, 0, 1], 0.4), np.diag([0.02, 0.02, -0.01]), 0.05),
+    ],
+    ids=["rotated", "strained", "sheared", "rattled", "all-combined"],
+)
+def test_relaxed_structure_corr(fcc_setup, rotate, strain, rattle):
+    """Rotated/strained/rattled structures map to the ideal correlations."""
+    prim, subspace, scm, structure, ref_corr = fcc_setup
+    distorted = _distort(
+        structure, rotate=rotate, strain=strain, rattle=rattle,
+        translate=[0.31, -0.12, 0.07], seed=4,
+    )
+    found = subspace.scmatrix_from_structure(distorted)
+    assert found is not None
+    assert abs(abs(np.linalg.det(found)) - 8) < 0.5
+    corr = subspace.corr_from_structure(distorted)
+    np.testing.assert_allclose(corr, ref_corr, atol=1e-10)
+
+
+def test_rotated_spinel_mapping():
+    """Low-symmetry multi-sublattice case: rotated + rattled spinel."""
+    prim = spinel_prim()
+    subspace = ClusterSubspace.from_cutoffs(prim, {2: 4.0})
+    scm = np.eye(3, dtype=int)
+    proc = ClusterExpansionProcessor(
+        subspace, scm, np.ones(subspace.num_corr_functions)
+    )
+    occu = generate_random_ordered_occupancy(
+        proc, rng=np.random.default_rng(3)
+    )
+    structure = proc.structure_from_occupancy(occu)
+    ref = subspace.corr_from_occupancy(occu, scm)
+    distorted = _distort(
+        structure, rotate=_rotation([1, 1, 0], 0.5), rattle=0.04, seed=9
+    )
+    corr = subspace.corr_from_structure(distorted)
+    np.testing.assert_allclose(corr, ref, atol=1e-10)
+
+
+def test_matcher_rejects_wrong_lattice():
+    prim = fcc_binary_prim()
+    m = StructureMatcher()
+    bad = Structure(
+        Lattice(np.eye(3) * 3.123), [{"Au": 1.0}], [[0, 0, 0]]
+    )
+    assert m.get_supercell_matrix(bad, prim) is None
+
+
+def test_matcher_rejects_too_rattled(fcc_setup):
+    prim, subspace, scm, structure, _ = fcc_setup
+    bad = _distort(structure, rattle=1.5, seed=2)
+    m = StructureMatcher(stol=0.2)
+    sup = prim.copy()
+    sup.make_supercell(scm)
+    assert m.get_mapping(sup, bad) is None
+
+
+def test_fit_rotated_equivalence(fcc_setup):
+    prim, subspace, scm, structure, _ = fcc_setup
+    m = StructureMatcher()
+    rotated = _distort(structure, rotate=_rotation([0, 1, 1], 1.1), seed=1)
+    assert m.fit(structure, rotated)
+    # different occupation must NOT fit
+    other = structure.copy()
+    sp = [dict(s.species) for s in other]
+    flip = next(
+        i for i, d in enumerate(sp) if any(str(k) == "Au" for k in d)
+    )
+    sp[flip] = {"Cu": 1.0}
+    other = Structure(other.lattice, sp, other.frac_coords)
+    assert not m.fit(other, rotated)

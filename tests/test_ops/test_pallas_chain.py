@@ -107,6 +107,34 @@ def test_accum_parity_spinel_ewald():
     assert (occ >= 0).all() and (occ < n_codes[None, :]).all()
 
 
+def test_multi_chunk_execution():
+    """Step counts above the SMEM chunk limit split into scanned chunks."""
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.1, "Cu": 0.0}
+    )
+    sampler = Sampler.from_ensemble(
+        ens, temperature=900.0, nwalkers=4, seed=3
+    )
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices,
+        mu_table=ens.chemical_potential_table,
+    )
+    occu = _random_occu(ens, 4)
+    state = _chain_state(sampler, occu)
+    # 150 steps over 64-step chunks: 2 full chunks + 1 partial
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, 150, block_size=4, interpret=True, chunk_steps=64
+    )
+    out = fn(state, jax.random.key(0))
+    kernel = sampler.mckernel
+    feats = jax.vmap(kernel.full_features_fn())(out["occupancy"])
+    exact = feats @ jnp.asarray(kernel.natural_params)
+    err = np.max(np.abs(np.asarray(out["enthalpy"]) - np.asarray(exact)))
+    assert err < 1e-10, err
+    assert np.asarray(out["naccept"]).mean() > 0
+
+
 def test_walker_padding():
     """Walker counts that are not lane multiples are padded internally."""
     ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
