@@ -34,7 +34,7 @@ for scm in (np.diag([2, 2, 2]), np.diag([3, 2, 1]), np.diag([4, 1, 1])):
     proc = ClusterExpansionProcessor(
         subspace, scm, np.ones(subspace.num_corr_functions)
     )
-    for _ in range(8):
+    for _ in range(_bootstrap.scale(8, 3)):
         occu = generate_random_ordered_occupancy(proc, rng=rng)
         structure = proc.structure_from_occupancy(occu)
         energy = float(

@@ -19,7 +19,7 @@ expansion = random_expansion(fcc_binary_prim(), {2: 5.0, 3: 3.5}, seed=7)
 
 scm = np.diag([4, 4, 4])  # 64 sites
 ensemble = Ensemble.from_cluster_expansion(expansion, scm)
-nwalkers = 256
+nwalkers = _bootstrap.scale(256, 16)
 
 # half Au / half Cu initial occupancies, one per walker
 rng = np.random.default_rng(0)
@@ -35,8 +35,8 @@ for temperature in (2000.0, 1000.0, 500.0, 250.0):
     sampler = Sampler.from_ensemble(
         ensemble, temperature=temperature, nwalkers=nwalkers, seed=17
     )
-    sampler.run(2000, occu, thin_by=10)
-    discard = 100  # burn-in samples
+    sampler.run(_bootstrap.scale(2000, 100), occu, thin_by=10)
+    discard = _bootstrap.scale(100, 2)  # burn-in samples
     e_mean = sampler.samples.mean_energy(discard=discard)
     e_var = sampler.samples.energy_variance(discard=discard)
     size = ensemble.system_size

@@ -43,7 +43,7 @@ ensemble = Ensemble.from_cluster_expansion(
     expansion, np.diag([2, 2, 1]), chemical_potentials=chemical_potentials
 )
 
-nwalkers = 64
+nwalkers = _bootstrap.scale(64, 8)
 proc = ensemble.processor
 from smol_tpu.capp import generate_random_ordered_occupancy
 
@@ -60,16 +60,16 @@ sampler = Sampler.from_ensemble(
     nwalkers=nwalkers,
     seed=9,
 )
-sampler.run(4000, occu, thin_by=20)
+sampler.run(_bootstrap.scale(4000, 200), occu, thin_by=20)
 
 # composition statistics (species fractions over all active sublattices)
-comps = sampler.samples.mean_composition(discard=50)
+comps = sampler.samples.mean_composition(discard=_bootstrap.scale(50, 2))
 print("mean composition (per prim):")
 for sp, x in comps.items():
     print(f"  {sp}: {x:.4f}")
 
 # verify every sampled configuration is charge neutral
-occus = sampler.samples.get_occupancies(discard=50).reshape(
+occus = sampler.samples.get_occupancies(discard=_bootstrap.scale(50, 2)).reshape(
     -1, ensemble.num_sites
 )
 width = max(len(species) for species in proc.allowed_species)

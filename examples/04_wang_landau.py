@@ -43,7 +43,7 @@ sampler = Sampler.from_ensemble(
     nwalkers=1,
 )
 occu0 = np.zeros((1, n), dtype=np.int32)
-sampler.run(150_000, occu0, thin_by=250)
+sampler.run(_bootstrap.scale(150_000, 2_000), occu0, thin_by=250)
 
 # the WL state (entropy = log g(E), histogram, mod factor) lives in the trace
 entropy = sampler.samples.get_trace_value("entropy", flat=False)[-1][0]

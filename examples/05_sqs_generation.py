@@ -20,9 +20,9 @@ generator = StochasticSQSGenerator.from_structure(
 print(f"{len(generator.processors)} distinct supercell shapes of size 8")
 
 generator.generate(
-    mcmc_steps=1000,
-    temperatures=np.linspace(5.0, 0.02, 6),  # unitless anneal (kB = 1)
-    nwalkers=16,
+    mcmc_steps=_bootstrap.scale(1000, 100),
+    temperatures=np.linspace(5.0, 0.02, _bootstrap.scale(6, 2)),  # unitless anneal (kB = 1)
+    nwalkers=_bootstrap.scale(16, 4),
     seed=23,
 )
 print(f"kept {generator.num_structures} candidate structures")

@@ -23,7 +23,7 @@ ensemble = Ensemble.from_cluster_expansion(
     chemical_potentials={"Au": 0.0, "Cu": 0.0},
 )
 
-nwalkers = 32
+nwalkers = _bootstrap.scale(32, 8)
 ladder = make_temperature_ladder(300.0, 3000.0, nwalkers)  # geometric
 sampler = Sampler.from_ensemble(
     ensemble,
@@ -35,7 +35,7 @@ sampler = Sampler.from_ensemble(
 
 rng = np.random.default_rng(0)
 occu = rng.integers(0, 2, (nwalkers, ensemble.num_sites)).astype(np.int32)
-sampler.run(3000, occu, thin_by=10)
+sampler.run(_bootstrap.scale(3000, 200), occu, thin_by=10)
 
 temps = sampler.samples.get_temperatures(flat=False)
 energies = sampler.samples.get_energies(flat=False)

@@ -786,6 +786,41 @@ class PottsSubspace(ClusterSubspace):
             **matcher_kwargs,
         )
 
+    def get_function_decoration(self, index):
+        """Species decoration/labeling of one correlation function.
+
+        With the indicator basis each correlation function corresponds 1:1
+        to a set of symmetrically equivalent species decorations of the
+        orbit's sites (reference clusterspace.py:1960-1977).
+
+        Args:
+            index: index of the orbit function in the correlation vector.
+
+        Returns:
+            list of tuples of Species, one per equivalent decoration.
+        """
+        orbit = self.orbits[self.function_orbit_ids[index] - 1]
+        return [
+            tuple(list(orbit.site_spaces[i])[b] for i, b in enumerate(bits))
+            for bits in orbit.bit_combos[index - orbit.bit_id]
+        ]
+
+    def get_orbit_decorations(self, orbit_id):
+        """All species decorations of an orbit's correlation functions.
+
+        Args:
+            orbit_id: 1-based orbit id.
+
+        Returns:
+            list of lists of equivalent-decoration tuples
+            (reference clusterspace.py:1979-1997).
+        """
+        orbit = self.orbits[orbit_id - 1]
+        return [
+            self.get_function_decoration(bid)
+            for bid in range(orbit.bit_id, orbit.bit_id + len(orbit.bit_combos))
+        ]
+
     @staticmethod
     def _gen_orbits_from_cutoffs(exp_struct, cutoffs, symops, remove_last):
         """Generate orbits with full indicator bases (over-complete)."""

@@ -245,6 +245,16 @@ class MCKernel(ABC):
     def make_step_fn(self):
         """Build the pure batched step function state -> state."""
 
+    def restore_aux_state(self, state: dict, container) -> dict:
+        """Restore kernel auxiliary state from a container's last sample.
+
+        Called by ``Sampler.run`` when resuming from stored samples; the
+        default kernel has no auxiliary state.  WangLandau restores its
+        histogram/entropy/mod-factor record (closing the reference's open
+        TODO at smol/moca/sampler/sampler.py:299-301).
+        """
+        return state
+
     def make_chain_fn(self, n_steps: int):
         """Optional fused multi-step chain function, or None.
 

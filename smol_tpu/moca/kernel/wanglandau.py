@@ -192,6 +192,35 @@ class WangLandau(MCKernel):
             mod_divisor=self._mod_divisor,
         )
 
+    def restore_aux_state(self, state: dict, container) -> dict:
+        """Resume WL aux state (histogram/entropy/...) from stored samples.
+
+        The reference leaves this as an open TODO (its sampler restarts the
+        histogram on resume, smol/moca/sampler/sampler.py:299-301); here the
+        last recorded sample restores the full Wang-Landau record.  The
+        flatness-check step counter restarts at zero, which only delays the
+        next check by at most ``check_period`` steps.
+        """
+        import jax.numpy as jnp
+
+        if container.num_samples == 0:
+            return state
+        state = dict(state)
+        trace = container._trace
+        mapping = {
+            "histogram": "histogram",
+            "occurrences": "occurrences",
+            "entropy": "entropy",
+            "mean_features": "cumulative_mean_features",
+            "mod_factor": "mod_factor",
+        }
+        last = container.num_samples - 1
+        for key, name in mapping.items():
+            arr = getattr(trace, name, None)
+            if arr is not None and len(arr) > last:
+                state[key] = jnp.asarray(arr[last]).astype(state[key].dtype)
+        return state
+
     def initial_state(self, occupancies) -> dict:
         import jax.numpy as jnp
 

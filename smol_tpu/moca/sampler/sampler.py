@@ -247,6 +247,7 @@ class Sampler:
         keep_last_chunk=False,
         swmr_mode=False,
         samples_per_launch=None,
+        profile_dir=None,
     ):
         """Run an MC simulation saving a sample every ``thin_by`` steps.
 
@@ -255,14 +256,21 @@ class Sampler:
             initial_occupancies: [W, N] (or [N]) int array. When None,
                 continues from the current state or the last stored sample.
             thin_by: steps between saved samples.
-            progress: print coarse progress per device launch.
+            progress: print per-launch progress with measured
+                flip-attempts/s throughput.
             stream_chunk: if > 0, flush samples to HDF5 in chunks this size.
             stream_file: HDF5 path (auto-named when omitted).
             keep_last_chunk: keep the last chunk in memory after streaming.
             swmr_mode: open the HDF5 backend in SWMR mode.
             samples_per_launch: samples computed per device launch (tunes
                 trace-memory vs dispatch overhead; default ~64MB of traces).
+            profile_dir: when set, wrap the run in a ``jax.profiler.trace``
+                writing a TensorBoard-loadable profile to this directory
+                (SURVEY.md section 5 observability).
         """
+        import contextlib
+        import time as _time
+
         import jax
 
         from smol_tpu.ops.mc import run_chain
@@ -290,6 +298,11 @@ class Sampler:
                     "they must be provided."
                 ) from err
             self.setup_sample(occupancies)
+            # restore kernel aux state (e.g. Wang-Landau histograms) from
+            # the stored record
+            self._state = self._kernel.restore_aux_state(
+                self._state, self._container
+            )
 
         nsamples = nsteps // thin_by
         if samples_per_launch is None:
@@ -336,29 +349,46 @@ class Sampler:
 
         done = 0
         since_flush = 0
-        while done < nsamples:
-            launch = min(samples_per_launch, nsamples - done)
-            key, subkey = jax.random.split(key)
-            if chain_fn is not None:
-                from smol_tpu.ops.mc import run_chain_fused
+        profile_ctx = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir is not None
+            else contextlib.nullcontext()
+        )
+        with profile_ctx:
+            while done < nsamples:
+                launch = min(samples_per_launch, nsamples - done)
+                key, subkey = jax.random.split(key)
+                t_launch = _time.perf_counter()
+                if chain_fn is not None:
+                    from smol_tpu.ops.mc import run_chain_fused
 
-                self._state, traces = run_chain_fused(
-                    self._state, subkey, chain_fn, record_fn, int(launch)
+                    self._state, traces = run_chain_fused(
+                        self._state, subkey, chain_fn, record_fn, int(launch)
+                    )
+                else:
+                    self._state, traces = run_chain(
+                        self._state, subkey, step_fn, record_fn, int(launch),
+                        int(thin_by),
+                    )
+                host_traces = Trace(
+                    **{k: np.asarray(v) for k, v in traces.items()}
                 )
-            else:
-                self._state, traces = run_chain(
-                    self._state, subkey, step_fn, record_fn, int(launch),
-                    int(thin_by),
+                elapsed = _time.perf_counter() - t_launch
+                self._container.save_sampled_traces(
+                    host_traces, thinned_by=thin_by
                 )
-            host_traces = Trace(**{k: np.asarray(v) for k, v in traces.items()})
-            self._container.save_sampled_traces(host_traces, thinned_by=thin_by)
-            done += launch
-            since_flush += launch
-            if backend is not None and since_flush >= stream_chunk:
-                self._container.flush_to_backend(backend)
-                since_flush = 0
-            if progress:
-                print(f"sampled {done}/{nsamples} (x{thin_by} steps)")
+                done += launch
+                since_flush += launch
+                if backend is not None and since_flush >= stream_chunk:
+                    self._container.flush_to_backend(backend)
+                    since_flush = 0
+                if progress:
+                    attempts = launch * thin_by * self._nwalkers
+                    print(
+                        f"sampled {done}/{nsamples} (x{thin_by} steps, "
+                        f"{attempts / max(elapsed, 1e-9) / 1e6:.1f} M "
+                        f"attempts/s incl. host transfer)"
+                    )
 
         if backend is not None:
             if self._container.num_samples > 0:

@@ -29,11 +29,12 @@ formulation.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import Partial
 
 __all__ = [
     "FastTables",
@@ -93,6 +94,36 @@ class FastTables:
     # term exactly) -> [R, 6 * L * tmax_c] bf16
     planes_bf: jnp.ndarray = field(default=None)
     tmax_c: int = 0  # compact tensor width (2**Ko)
+
+
+# FastTables is a pytree: array fields are leaves, static config is aux
+# data.  Step functions built from it are jax.tree_util.Partial pytrees, so
+# systems that differ only in table VALUES (e.g. a temperature sweep of
+# samplers, or the per-shape kernels of an SQS search) share one XLA
+# compilation of the chain driver.
+_FT_ARRAY_FIELDS = (
+    "big", "sub_n_codes", "active_sites", "n_active", "sub_offset",
+    "cum_probs", "planes_bf",
+)
+_FT_STATIC_FIELDS = tuple(
+    f.name for f in fields(FastTables) if f.name not in _FT_ARRAY_FIELDS
+)
+
+
+def _ft_flatten(t):
+    return (
+        tuple(getattr(t, n) for n in _FT_ARRAY_FIELDS),
+        tuple(getattr(t, n) for n in _FT_STATIC_FIELDS),
+    )
+
+
+def _ft_unflatten(aux, leaves):
+    kwargs = dict(zip(_FT_ARRAY_FIELDS, leaves))
+    kwargs.update(zip(_FT_STATIC_FIELDS, aux))
+    return FastTables(**kwargs)
+
+
+jax.tree_util.register_pytree_node(FastTables, _ft_flatten, _ft_unflatten)
 
 
 def site_local_arrays(processor):
@@ -504,8 +535,13 @@ def make_fast_flip_step(t: FastTables):
     """Semigrand single-flip Metropolis step over packed walker state.
 
     State: words [W, NW] uint32, enthalpy [W] f64, beta [W] f64,
-    accepted [W] bool, naccept [W] int32.
+    accepted [W] bool, naccept [W] int32.  Returned as a Partial over the
+    FastTables pytree: same-shape systems share one compilation.
     """
+    return Partial(_fast_flip_step, t)
+
+
+def _fast_flip_step(t, state, key):
     cb = 1 if t.binary else 4
     iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
     n_sub = t.active_sites.shape[0]
@@ -548,11 +584,19 @@ def make_fast_flip_step(t: FastTables):
         out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
         return out
 
-    return step
+    return step(state, key)
 
 
 def make_fast_swap_step(t: FastTables):
-    """Canonical two-site swap Metropolis step over packed walker state."""
+    """Canonical two-site swap Metropolis step over packed walker state.
+
+    Returned as a Partial over the FastTables pytree (shared compilation
+    across same-shape systems).
+    """
+    return Partial(_fast_swap_step, t)
+
+
+def _fast_swap_step(t, state, key):
     cb = 1 if t.binary else 4
     iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
     n_sub = t.active_sites.shape[0]
@@ -642,4 +686,4 @@ def make_fast_swap_step(t: FastTables):
         out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
         return out
 
-    return step
+    return step(state, key)

@@ -162,3 +162,43 @@ def test_save_load_work(ensemble, tmp_path):
     # duplicate class rejected
     with pytest.raises(AttributeError):
         save_work(str(tmp_path / "dup.json"), cs, cs)
+
+
+def test_unfinished_hdf5_run_recovery(ensemble, tmp_path):
+    """A crashed streaming run (allocated > written) loads cleanly.
+
+    The backend allocates dataset space up front; if the process dies
+    before all samples flush, from_hdf5 must warn and recover exactly the
+    samples that were written (reference container.py:649-657 behavior).
+    """
+    pytest.importorskip("h5py")
+    from smol_tpu.moca.sampler.container import SampleContainer
+
+    rng = np.random.default_rng(9)
+    occu = rng.integers(0, 2, (2, ensemble.num_sites)).astype(np.int32)
+    sampler = Sampler.from_ensemble(
+        ensemble, temperature=1000.0, nwalkers=2, seed=5
+    )
+    sampler.run(100, occu, thin_by=10)  # 10 samples in memory
+
+    expected_occ = sampler.samples.get_occupancies().copy()
+    expected_enth = sampler.samples.get_enthalpies().copy()
+
+    # simulate the crash: allocate space for 30 samples, flush only the 10
+    # sampled ones (flush clears memory), then "die" without trimming
+    path = str(tmp_path / "crashed.h5")
+    backend = sampler.samples.get_backend(path, alloc_nsamples=30)
+    sampler.samples.flush_to_backend(backend)
+    backend.close()
+
+    with pytest.warns(UserWarning, match="written"):
+        recovered = SampleContainer.from_hdf5(path, swmr_mode=False)
+    assert recovered.num_samples == 10
+    np.testing.assert_array_equal(recovered.get_occupancies(), expected_occ)
+    np.testing.assert_allclose(
+        recovered.get_enthalpies(), expected_enth, atol=1e-12
+    )
+    # and a resumed Sampler continues from the recovered last sample
+    s2 = Sampler(sampler.mckernel, recovered, nwalkers=2)
+    s2.run(50, thin_by=10)
+    assert s2.samples.num_samples == 15

@@ -157,3 +157,66 @@ def test_tableflip_sgc_matches_enumeration(neutral_system):
         ]
     )
     assert np.all(charges == 0)
+
+
+def test_tableflip_priori_factor_detailed_balance(neutral_system):
+    """The a-priori factor equals the reverse/forward proposal-probability
+    ratio (empirically measured), i.e. Metropolis-Hastings detailed balance
+    holds for table-flip moves (reference tests/test_moca/test_mcushers.py
+    statistical-depth analog)."""
+    ens, _ = neutral_system
+    rng = np.random.default_rng(42)
+    usher = TableFlip(ens.sublattices, rng=rng)
+    proc = ens.processor
+    n_codes = [len(s) for s in proc.allowed_species]
+
+    # a definite charge-neutral starting occupancy
+    occu = None
+    for _ in range(200):
+        cand = np.array(
+            [rng.integers(0, c) for c in n_codes], dtype=np.int32
+        )
+        charge = sum(
+            (proc.allowed_species[i][cand[i]].oxi_state or 0)
+            for i in range(len(cand))
+        )
+        if charge == 0:
+            occu = cand
+            break
+    assert occu is not None
+
+    def canon(step):
+        return tuple(sorted((int(s), int(c)) for s, c in step))
+
+    # find a proposable step with a measurable forward probability
+    step = None
+    for _ in range(500):
+        cand = usher.propose_step(occu)
+        if cand:
+            step = cand
+            break
+    assert step is not None
+    occu2 = occu.copy()
+    reverse = []
+    for site, code in step:
+        reverse.append((site, int(occu2[site])))
+        occu2[site] = code
+    log_factor = usher.compute_log_priori_factor(occu, step)
+
+    M = 60_000
+    fwd = sum(
+        1 for _ in range(M) if canon(usher.propose_step(occu)) == canon(step)
+    )
+    rev = sum(
+        1
+        for _ in range(M)
+        if canon(usher.propose_step(occu2)) == canon(reverse)
+    )
+    assert fwd > 30 and rev > 30, (fwd, rev)
+    p_fwd, p_rev = fwd / M, rev / M
+    ratio = p_rev / p_fwd
+    # binomial standard error propagated to the ratio
+    se = ratio * np.sqrt(1 / fwd + 1 / rev)
+    assert abs(ratio - np.exp(log_factor)) < 5 * se + 1e-9, (
+        ratio, np.exp(log_factor), se,
+    )

@@ -105,3 +105,47 @@ def test_wang_landau_host_kernel_matches(wl_setup):
     assert kernel.entropy.sum() > 0
     assert len(kernel.levels) >= 2
     assert len(kernel.dos) == len(kernel.levels)
+
+
+def test_wang_landau_resume_restores_aux(wl_setup):
+    """Resuming a WL run restores the histogram/entropy record.
+
+    (The reference leaves aux-state restoration as an open TODO,
+    smol/moca/sampler/sampler.py:299-301.)
+    """
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = (levels[1] - levels[0]) if len(levels) > 1 else 0.1
+    kwargs = dict(
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        flatness=0.7,
+        check_period=250,
+        nwalkers=2,
+        seed=9,
+    )
+    sampler = Sampler.from_ensemble(ens, **kwargs)
+    rng = np.random.default_rng(1)
+    occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
+    sampler.run(4000, occu, thin_by=1000)
+    last_entropy = sampler.samples.get_trace_value("entropy", flat=False)[-1]
+    last_hist = sampler.samples.get_trace_value("histogram", flat=False)[-1]
+    assert last_entropy.max() > 0
+
+    # resume into a fresh Sampler sharing only the container
+    resumed = Sampler(
+        Sampler.from_ensemble(ens, **kwargs).mckernel, sampler.samples,
+        nwalkers=2,
+    )
+    resumed.run(1000, thin_by=1000)
+    ent2 = resumed.samples.get_trace_value("entropy", flat=False)[-1]
+    hist2 = resumed.samples.get_trace_value("histogram", flat=False)[-1]
+    # entropy is monotone non-decreasing in WL: the resumed record must
+    # build ON TOP of the stored one, not restart from zero
+    assert (ent2 >= last_entropy - 1e-12).all()
+    assert ent2.sum() > last_entropy.sum()
+    assert (hist2.sum(axis=-1) >= 0).all() and hist2.shape == last_hist.shape
