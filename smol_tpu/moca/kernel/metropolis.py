@@ -114,43 +114,55 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         return self._chain_tables_cache
 
     def _build_chain_tables(self):
-        """Shared-proposal chain tables for single-flip Metropolis.
+        """Shared-proposal chain tables for Flip/Swap Metropolis.
 
-        Applies for plain Flip ushers with no bias/priori factor and no
-        tracked features; see smol_tpu.ops.pallas_chain for the full
-        applicability constraints (incl. composite CE + Ewald support).
+        Applies for plain Flip (semigrand) and Swap (canonical) ushers
+        with no bias/priori factor and no tracked features; see
+        smol_tpu.ops.pallas_chain for the full applicability constraints
+        (incl. composite CE + Ewald support).  Returns (tables, move).
         """
-        from smol_tpu.moca.kernel.mcusher import Flip
+        from smol_tpu.moca.kernel.mcusher import Flip, Swap
         from smol_tpu.ops import pallas_chain
 
         if not self.shared_proposals:
             return None
         if self.track_features or self._bias is not None:
             return None
-        if type(self.mcusher) is not Flip:
+        if type(self.mcusher) not in (Flip, Swap):
             return None
         if self.mcusher.device_log_priori() is not None:
             return None
-        return pallas_chain.build_chain_tables(
+        move = "flip" if type(self.mcusher) is Flip else "swap"
+        tables = pallas_chain.build_chain_tables(
             self._ensemble.processor,
             self._ensemble.sublattices,
-            mu_table=self._ensemble.chemical_potential_table,
+            # swaps conserve composition: the chemical work term is
+            # identically zero, so the mu table is not needed
+            mu_table=(
+                self._ensemble.chemical_potential_table
+                if move == "flip" else None
+            ),
             sublattice_probabilities=self.mcusher.sublattice_probabilities,
         )
+        if tables is None:
+            return None
+        return tables, move
 
     def make_chain_fn(self, n_steps: int):
         from smol_tpu.ops import pallas_chain
 
         if not pallas_chain.runtime_supported():
             return None
-        tables = self._get_chain_tables()
-        if tables is None:
+        built = self._get_chain_tables()
+        if built is None:
             return None
+        tables, move = built
         inner = pallas_chain.make_shared_proposal_chain(
             tables,
             n_steps,
             block_size=self.chain_block_size,
             interpret=pallas_chain.interpret_mode(),
+            move=move,
         )
         if self._get_fast_tables() is None:
             return inner

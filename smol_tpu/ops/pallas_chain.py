@@ -20,6 +20,14 @@ Statistical contract (READ THIS):
   exogenous (independent of every walker's state), acceptance uniforms
   and proposed codes are drawn per walker, and the stationary
   distribution is untouched.  Per-chain averages are unbiased.
+- Canonical swaps (``move="swap"``) share an exogenous ordered PAIR
+  sequence (u, v) drawn uniformly within one sublattice; pairs whose
+  species already match are identity proposals counted as rejected
+  attempts.  This proposal is state-independent and symmetric, so the
+  canonical stationary distribution is exact (the reference Swap usher
+  conditions the partner on a different species — a different but
+  equally valid symmetric proposal; acceptance fractions are therefore
+  not directly comparable, sampled distributions are).
 - Walkers within one block (``block_size``, default 1024) share the same
   site-visit sequence, so they are not fully independent: cross-walker
   correlations reduce the effective number of independent replicas for
@@ -64,6 +72,7 @@ __all__ = [
 _P = jax.lax.Precision.HIGHEST
 MAX_TENSOR = 63  # 2*TM + 1 lane columns must fit one 128-lane tile
 MAX_CHUNK_STEPS = 2048  # SMEM budget for the per-block site sequence
+VMEM_TABLE_BUDGET = 6 * 2**20  # above this, stream tables from HBM
 
 
 def interpret_mode() -> bool:
@@ -332,15 +341,22 @@ def build_chain_tables(processor, sublattices, mu_table=None,
         if len(probs) != len(active):
             return None
 
-    # VMEM budget: all tables stay resident in the kernel (~16 MB/core on
-    # v5e, shared with the walker state and per-step intermediates).  The
-    # gather matrix scales as R^2 * L, so large supercells must fall back
-    # to the per-walker paths until HBM-streamed tables land.
-    table_bytes = 4 * (
-        gm.size + gcat.size + (mu.size if mu is not None else 0)
+    # VMEM budget (~16 MB/core on v5e): big tables above VMEM_TABLE_BUDGET
+    # stream from HBM with double-buffered scratch (make_shared_proposal_
+    # chain streamed mode), so only the PER-STEP working set is bounded:
+    # two row buffers + the rank-compacted walker state + small tables.
+    rpad_ = max(8, -(-R // 8) * 8)
+    Lp = 8
+    while Lp < L0:
+        Lp *= 2
+    working = 4 * (
+        4 * Lp * rpad_  # gm row double buffers (x2 roles for swaps)
+        + 4 * Lp * (2 * tmax + 1)  # gcat row double buffers
+        + (mu.size if mu is not None else 0)
         + (ew_v.size if ew_v is not None else 0)
+        + rpad_ * 1024  # occupancy block (worst-case block size)
     )
-    if table_bytes > 8 * 2**20:
+    if working > 10 * 2**20:
         return None
 
     return ChainTables(
@@ -385,30 +401,92 @@ def rank_sequence(tables: ChainTables, key, shape):
     return off + ai
 
 
+def rank_pair_sequence(tables: ChainTables, key, shape):
+    """Draw state-independent swap pairs (u, v), both within one sublattice.
+
+    The sublattice is chosen by the sublattice probabilities; u and v are
+    iid uniform within it.  Null pairs (u == v, or equal species at
+    runtime) are identity proposals the kernel counts as rejected — the
+    proposal distribution is state-independent and symmetric, so each
+    chain remains an exact canonical Metropolis chain (the reference Swap
+    usher, smol/moca/kernel/mcusher.py:209, conditions the partner on a
+    different species instead; both are valid symmetric proposals).
+    """
+    k_sl, k_u, k_v = jax.random.split(key, 3)
+    S = len(tables.cum_probs)
+    cum = jnp.asarray(tables.cum_probs)
+    r = jax.random.uniform(k_sl, shape)
+    sl = jnp.minimum(
+        jnp.searchsorted(cum, r, side="right").astype(jnp.int32), S - 1
+    )
+    n_act = jnp.asarray(tables.n_active, dtype=jnp.int32)[sl]
+    off = jnp.asarray(tables.sub_offset, dtype=jnp.int32)[sl]
+    u = off + jax.random.randint(k_u, shape, 0, n_act)
+    v = off + jax.random.randint(k_v, shape, 0, n_act)
+    return u, v
+
+
 def make_shared_proposal_chain(
     tables: ChainTables,
     n_steps: int,
     block_size: int = 1024,
     interpret: bool = False,
     chunk_steps: int | None = None,
+    streamed: bool | None = None,
+    move: str = "flip",
 ):
-    """Build ``fn(state, key) -> state`` running n_steps shared-site flips.
+    """Build ``fn(state, key) -> state`` running n_steps shared-site moves.
 
     ``state`` uses plain occupancies: ``occupancy`` [W, N] int32,
     ``enthalpy`` [W] f64, ``beta`` [W] f64, ``naccept`` [W] int32,
     ``accepted`` [W] bool.  W must be a multiple of ``block_size`` (or
     equal to it).  See the module docstring for the statistical contract.
+
+    ``move`` selects the proposal: ``"flip"`` (single-site semigrand) or
+    ``"swap"`` (two-site canonical exchange; walkers in a block share the
+    (u, v) pair sequence, equal-species pairs are identity proposals
+    counted as rejected, and the joint delta is computed exactly as
+    dE(u) + dE(v | u applied)).
+
+    ``streamed`` keeps the big per-rank tables (gm, gcat) in HBM and
+    double-buffers each step's rows into VMEM scratch with async DMA —
+    the known-in-advance site sequence makes the prefetch perfect.  Auto
+    (None): stream when the tables exceed the VMEM budget.  This removes
+    the table-size ceiling on supercell size (cost: one ~row-sized DMA
+    per step, fully overlapped with compute).
     """
+    if move not in ("flip", "swap"):
+        raise ValueError(f"unknown move type: {move!r}")
+    swap = move == "swap"
+    n_roles = 2 if swap else 1
     t = tables
     R, RP, L, TM = t.num_ranks, t.rpad, t.n_local, t.tensor_max
     C = t.mu_cols
     binary = t.binary
     has_mu, has_ewald = t.has_mu, t.has_ewald
+    table_bytes = 4 * (t.gm.size + t.gcat.size)
+    if streamed is None:
+        streamed = table_bytes > VMEM_TABLE_BUDGET
 
-    def kernel(seed_ref, nvalid_ref, seq_ref, ncod_ref, ewc_ref,
+    # streamed DMA slices must be lane-aligned: pad the table lane dims to
+    # multiples of 128 (the pad columns are zeros / never selected)
+    gm_arr, gcat_arr, ewv_pad_cols = t.gm, t.gcat, 0
+    GW = 2 * TM + 1
+    if streamed:
+        RP_new = -(-RP // 128) * 128
+        GW = -(-(2 * TM + 1) // 128) * 128
+        gm_arr = jnp.pad(t.gm, ((0, 0), (0, 0), (0, RP_new - RP)))
+        gcat_arr = jnp.pad(
+            t.gcat, ((0, 0), (0, 0), (0, GW - (2 * TM + 1)))
+        )
+        ewv_pad_cols = RP_new - RP
+        RP = RP_new
+
+    def kernel(seed_ref, nvalid_ref, seq_ref, vseq_ref, ncod_ref, ewc_ref,
                occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
                gm_ref, gcat_ref, mu_ref, ewv_ref,
-               occ_out, ehi_out, elo_out, nacc_out):
+               occ_out, ehi_out, elo_out, nacc_out,
+               *scratch):
         wb = occ_ref.shape[1]
         block = pl.program_id(0)
         block_seed = seed_ref[0] + block * jnp.int32(7919)
@@ -418,39 +496,63 @@ def make_shared_proposal_chain(
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (RP, wb), 0)
         beta = beta_ref[:]  # [1, wb] f32
 
-        def step(i, carry):
-            occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
-            u = seq_ref[block, i]  # scalar rank
+        if streamed:
+            # scratch: one (gm, gcat) double buffer per role (u, and v for
+            # swaps), each with its own DMA semaphore pair
+            bufs = [scratch[2 * k: 2 * k + 2] for k in range(n_roles)]
+            sems = [
+                scratch[2 * n_roles + 2 * k: 2 * n_roles + 2 * k + 2]
+                for k in range(n_roles)
+            ]
+            seq_refs = [seq_ref, vseq_ref][:n_roles]
+            chunk_len = seq_ref.shape[1]
 
-            # ---- per-rank static rows (scalar dynamic slices) ----
-            gm_u = gm_ref[pl.ds(u, 1)][0]  # [L, RP] f32
-            gcat_u = gcat_ref[pl.ds(u, 1)][0]  # [L, 2*TM+1] f32
-            d2_u = jax.lax.broadcast_in_dim(
-                gcat_u[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+            def issue(i, slot):
+                for sref, (gbuf, cbuf), (gsem, csem) in zip(
+                    seq_refs, bufs, sems
+                ):
+                    r_i = sref[block, i]
+                    pltpu.make_async_copy(
+                        gm_ref.at[r_i], gbuf.at[slot], gsem.at[slot]
+                    ).start()
+                    pltpu.make_async_copy(
+                        gcat_ref.at[r_i], cbuf.at[slot], csem.at[slot]
+                    ).start()
+
+            def wait(i, slot):
+                rows = []
+                for sref, (gbuf, cbuf), (gsem, csem) in zip(
+                    seq_refs, bufs, sems
+                ):
+                    r_i = sref[block, i]
+                    pltpu.make_async_copy(
+                        gm_ref.at[r_i], gbuf.at[slot], gsem.at[slot]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        gcat_ref.at[r_i], cbuf.at[slot], csem.at[slot]
+                    ).wait()
+                    rows.append((gbuf[slot], cbuf[slot]))
+                return rows
+
+            issue(jnp.int32(0), jnp.int32(0))
+
+        def select_code(occ, r):
+            """Current code at rank r (scalar) for every walker: [1, wb]."""
+            return jnp.sum(
+                jnp.where(iota_r == r, occ, 0.0), axis=0, keepdims=True
             )
 
-            # ---- current and proposed codes ----
-            a = jnp.sum(
-                jnp.where(iota_r == u, occ, 0.0),
-                axis=0, keepdims=True,
-            )  # [1, wb] f32
-            if binary:
-                b = 1.0 - a
-            else:
-                nc = jnp.maximum(ncod_ref[0, u] - 1, 1)
-                if interpret:
-                    j = _hash_randint(block_seed, i, 0, (1, wb), nc)
-                else:
-                    j = jax.lax.rem(_pos_bits((1, wb)), nc)
-                jf = j.astype(jnp.float32)
-                b = jf + (jf >= a).astype(jnp.float32)
+        def site_delta(gm_x, gcat_x, occ_x, a, b):
+            """Per-local-cluster df delta of flipping one site a -> b.
 
-            # ---- tensor indices of all local clusters ----
-            t_part = jax.lax.dot(gm_u, occ, precision=_P)  # [L, wb]
-            t_old = t_part + a * d2_u
-            t_new = t_part + b * d2_u
-
-            # ---- energy delta: per-l select from the g planes ----
+            Returns ([L, wb] hi, [L, wb] lo), to be L-reduced by caller.
+            """
+            d2_x = jax.lax.broadcast_in_dim(
+                gcat_x[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+            )
+            t_part = jax.lax.dot(gm_x, occ_x, precision=_P)  # [L, wb]
+            t_old = t_part + a * d2_x
+            t_new = t_part + b * d2_x
             zero = jnp.zeros((L, wb), jnp.float32)
             hn = zero
             ho = zero
@@ -459,10 +561,10 @@ def make_shared_proposal_chain(
             for tt in range(TM):
                 ttf = jnp.float32(tt)
                 ghc = jax.lax.broadcast_in_dim(
-                    gcat_u[:, tt: tt + 1], (L, wb), (0, 1)
+                    gcat_x[:, tt: tt + 1], (L, wb), (0, 1)
                 )
                 glc = jax.lax.broadcast_in_dim(
-                    gcat_u[:, TM + tt: TM + tt + 1], (L, wb), (0, 1)
+                    gcat_x[:, TM + tt: TM + tt + 1], (L, wb), (0, 1)
                 )
                 mn = t_new == ttf
                 mo = t_old == ttf
@@ -470,7 +572,9 @@ def make_shared_proposal_chain(
                 ho = jnp.where(mo, ghc, ho)
                 ln_ = jnp.where(mn, glc, ln_)
                 lo_ = jnp.where(mo, glc, lo_)
-            dh, dl = _df_add(hn, ln_, -ho, -lo_)
+            return _df_add(hn, ln_, -ho, -lo_)
+
+        def reduce_l(dh, dl):
             width = L
             while width > 1:
                 half = width // 2
@@ -479,21 +583,78 @@ def make_shared_proposal_chain(
                     dh[half:width, :], dl[half:width, :],
                 )
                 width = half
-            # dh, dl: [1, wb]
+            return dh, dl  # [1, wb]
 
-            # ---- Ewald part (binary): dE = sign * (C_u + V_u . occ) ----
-            if has_ewald:
-                ewv_u = ewv_ref[pl.ds(u, 1)][0]  # [2, RP] f32
-                sign = b - a  # [1, wb] in {-1, +1}
-                vh = jax.lax.dot(ewv_u[0:1, :], occ, precision=_P)
-                vl = jax.lax.dot(ewv_u[1:2, :], occ, precision=_P)
-                ch = ewc_ref[0, u]
-                cl = ewc_ref[0, R + u]
-                eh, el = _df_add(vh, vl, ch, cl)
-                dh, dl = _df_add(dh, dl, sign * eh, sign * el)
+        def ewald_delta(r, sign, occ_x):
+            """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""
+            ewv_r = ewv_ref[pl.ds(r, 1)][0]  # [2, RP] f32
+            vh = jax.lax.dot(ewv_r[0:1, :], occ_x, precision=_P)
+            vl = jax.lax.dot(ewv_r[1:2, :], occ_x, precision=_P)
+            ch = ewc_ref[0, r]
+            cl = ewc_ref[0, R + r]
+            eh, el = _df_add(vh, vl, ch, cl)
+            return sign * eh, sign * el
+
+        def step(i, carry):
+            occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
+            u = seq_ref[block, i]  # scalar rank
+
+            # ---- per-rank static rows ----
+            if streamed:
+                slot = jax.lax.rem(i, jnp.int32(2))
+                rows = wait(i, slot)
+                # prefetch the next step's rows into the other slot
+                nxt = jnp.minimum(i + 1, jnp.int32(chunk_len - 1))
+                issue(nxt, 1 - slot)
+                gm_u, gcat_u = rows[0]
+                if swap:
+                    gm_v, gcat_v = rows[1]
+            else:
+                gm_u = gm_ref[pl.ds(u, 1)][0]  # [L, RP] f32
+                gcat_u = gcat_ref[pl.ds(u, 1)][0]  # [L, 2*TM+1] f32
+
+            # ---- proposal + joint energy delta ----
+            a = select_code(occ, u)  # [1, wb] f32
+            if swap:
+                v = vseq_ref[block, i]
+                if not streamed:
+                    gm_v = gm_ref[pl.ds(v, 1)][0]
+                    gcat_v = gcat_ref[pl.ds(v, 1)][0]
+                av = select_code(occ, v)
+                b = av  # u takes v's species, v takes u's
+                is_move = a != av  # [1, wb] bool; null pairs are identity
+                d1h, d1l = site_delta(gm_u, gcat_u, occ, a, b)
+                # v's delta is evaluated with u's flip already applied
+                occ1 = jnp.where(
+                    jnp.broadcast_to(iota_r == u, (RP, wb)),
+                    jnp.broadcast_to(b, (RP, wb)), occ,
+                )
+                d2h, d2l = site_delta(gm_v, gcat_v, occ1, av, a)
+                dh, dl = reduce_l(*_df_add(d1h, d1l, d2h, d2l))
+                if has_ewald:
+                    sign = b - a  # [1, wb]; 0 for null pairs
+                    e1h, e1l = ewald_delta(u, sign, occ)
+                    e2h, e2l = ewald_delta(v, -sign, occ1)
+                    dh, dl = _df_add(dh, dl, *_df_add(e1h, e1l, e2h, e2l))
+            else:
+                if binary:
+                    b = 1.0 - a
+                else:
+                    nc = jnp.maximum(ncod_ref[0, u] - 1, 1)
+                    if interpret:
+                        j = _hash_randint(block_seed, i, 0, (1, wb), nc)
+                    else:
+                        j = jax.lax.rem(_pos_bits((1, wb)), nc)
+                    jf = j.astype(jnp.float32)
+                    b = jf + (jf >= a).astype(jnp.float32)
+                dh, dl = reduce_l(*site_delta(gm_u, gcat_u, occ, a, b))
+                if has_ewald:
+                    sign = b - a  # [1, wb] in {-1, +1}
+                    eh, el = ewald_delta(u, sign, occ)
+                    dh, dl = _df_add(dh, dl, eh, el)
 
             # ---- chemical work ----
-            if has_mu:
+            if has_mu and not swap:
                 mu_u = mu_ref[pl.ds(u, 1)]  # [1, 2C] f32
                 zf = jnp.zeros((1, wb), jnp.float32)
                 mah = zf
@@ -522,8 +683,14 @@ def make_shared_proposal_chain(
                 uu = _uniform01((1, wb))
             expo = -beta * dh
             accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
-            upd = jnp.logical_and(iota_r == u, jnp.broadcast_to(accept, (RP, wb)))
+            if swap:
+                accept = jnp.logical_and(accept, is_move)
+            acc_r = jnp.broadcast_to(accept, (RP, wb))
+            upd = jnp.logical_and(iota_r == u, acc_r)
             occ = jnp.where(upd, jnp.broadcast_to(b, (RP, wb)), occ)
+            if swap:
+                upd_v = jnp.logical_and(iota_r == v, acc_r)
+                occ = jnp.where(upd_v, jnp.broadcast_to(a, (RP, wb)), occ)
             zf = jnp.zeros_like(dh)
             ehi, elo = _df_add(
                 ehi, elo, jnp.where(accept, dh, zf), jnp.where(accept, dl, zf)
@@ -535,6 +702,13 @@ def make_shared_proposal_chain(
         occ, ehi, elo, nacc = jax.lax.fori_loop(
             jnp.int32(0), nvalid_ref[0], step, carry
         )
+        if streamed:
+            # drain the final prefetch (issued at step nvalid-1 into slot
+            # nvalid % 2, never consumed): every DMA must complete before
+            # the kernel exits
+            nv = nvalid_ref[0]
+            last_slot = jax.lax.rem(nv, jnp.int32(2))
+            wait(jnp.minimum(nv, jnp.int32(chunk_len - 1)), last_slot)
         occ_out[:] = occ
         ehi_out[:] = ehi
         elo_out[:] = elo
@@ -543,7 +717,9 @@ def make_shared_proposal_chain(
     rank_sites = t.rank_sites  # [R] int32
     ncod_dev = t.ncod
     mu_dev = t.mu if has_mu else jnp.zeros((R, 2), jnp.float32)
-    ewv_dev = t.ew_v if has_ewald else jnp.zeros((R, 2, RP), jnp.float32)
+    ewv_dev = t.ew_v if has_ewald else jnp.zeros((R, 2, t.rpad), jnp.float32)
+    if ewv_pad_cols:
+        ewv_dev = jnp.pad(ewv_dev, ((0, 0), (0, 0), (0, ewv_pad_cols)))
     ewc_dev = t.ew_c if has_ewald else jnp.zeros((1, 2 * R), jnp.float32)
 
     def fn(state, key):
@@ -563,9 +739,18 @@ def make_shared_proposal_chain(
         seed0 = jax.random.randint(
             k_seed, (), 0, np.int32(2**30 - 1), dtype=jnp.int32
         )
-        seqs = rank_sequence(
-            tables, k_seq, (n_chunks, grid, chunk)
-        ).astype(jnp.int32)
+        if swap:
+            seqs, vseqs = rank_pair_sequence(
+                tables, k_seq, (n_chunks, grid, chunk)
+            )
+            seqs = seqs.astype(jnp.int32)
+            vseqs = vseqs.astype(jnp.int32)
+        else:
+            seqs = rank_sequence(
+                tables, k_seq, (n_chunks, grid, chunk)
+            ).astype(jnp.int32)
+            # unread dummy (the kernel is specialized on move)
+            vseqs = jnp.zeros((n_chunks, 1, 1), jnp.int32)
         nvalid = jnp.minimum(
             chunk, n_steps - jnp.arange(n_chunks) * chunk
         ).astype(jnp.int32)
@@ -592,11 +777,27 @@ def make_shared_proposal_chain(
             arr.shape, lambda i: tuple(0 for _ in arr.shape),
             memory_space=pltpu.VMEM,
         )
+        if streamed:
+            table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            scratch_shapes = [
+                shp
+                for _ in range(n_roles)
+                for shp in (
+                    pltpu.VMEM((2, L, RP), jnp.float32),
+                    pltpu.VMEM((2, L, GW), jnp.float32),
+                )
+            ] + [
+                pltpu.SemaphoreType.DMA((2,))
+                for _ in range(2 * n_roles)
+            ]
+        else:
+            table_spec = None
+            scratch_shapes = []
         with jax.enable_x64(False):
 
             def chunk_body(carry, xs):
                 occ_c, ehi_c, elo_c, nacc_c = carry
-                seed_c, nvalid_c, seq_c = xs
+                seed_c, nvalid_c, seq_c, vseq_c = xs
                 outs = pl.pallas_call(
                     kernel,
                     grid=(grid,),
@@ -605,6 +806,7 @@ def make_shared_proposal_chain(
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # sequences
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # swap partners
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # ncod
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # ewald consts
                         blk(RP),  # occ
@@ -612,12 +814,13 @@ def make_shared_proposal_chain(
                         blk(1),  # ehi
                         blk(1),  # elo
                         blk(1),  # nacc
-                        full(t.gm),
-                        full(t.gcat),
+                        table_spec or full(gm_arr),
+                        table_spec or full(gcat_arr),
                         full(mu_dev),
                         full(ewv_dev),
                     ],
                     out_specs=(blk(RP), blk(1), blk(1), blk(1)),
+                    scratch_shapes=scratch_shapes,
                     compiler_params=pltpu.CompilerParams(
                         dimension_semantics=("arbitrary",),
                     ),
@@ -626,6 +829,7 @@ def make_shared_proposal_chain(
                     seed_c[None],
                     nvalid_c[None],
                     seq_c,
+                    vseq_c,
                     ncod_dev,
                     ewc_dev,
                     occ_c,
@@ -633,8 +837,8 @@ def make_shared_proposal_chain(
                     ehi_c,
                     elo_c,
                     nacc_c,
-                    t.gm,
-                    t.gcat,
+                    gm_arr,
+                    gcat_arr,
                     mu_dev,
                     ewv_dev,
                 )
@@ -648,11 +852,11 @@ def make_shared_proposal_chain(
             )
             if n_chunks == 1:
                 (occ_n, ehi_n, elo_n, nacc_n), _ = chunk_body(
-                    carry0, (seeds[0], nvalid[0], seqs[0])
+                    carry0, (seeds[0], nvalid[0], seqs[0], vseqs[0])
                 )
             else:
                 (occ_n, ehi_n, elo_n, nacc_n), _ = jax.lax.scan(
-                    chunk_body, carry0, (seeds, nvalid, seqs)
+                    chunk_body, carry0, (seeds, nvalid, seqs, vseqs)
                 )
 
         out = dict(state)

@@ -49,7 +49,8 @@ def _chain_state(sampler, occu):
     return state
 
 
-def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0):
+def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0,
+                  move="flip"):
     sampler = Sampler.from_ensemble(
         ensemble, temperature=temperature, nwalkers=nwalkers, seed=3
     )
@@ -62,9 +63,18 @@ def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0):
     occu = _random_occu(ensemble, nwalkers)
     state = _chain_state(sampler, occu)
     fn = pallas_chain.make_shared_proposal_chain(
-        tables, n_steps, block_size=nwalkers, interpret=True
+        tables, n_steps, block_size=nwalkers, interpret=True, move=move
     )
     out = fn(state, jax.random.key(0))
+    if move == "swap":
+        # canonical moves conserve the composition of every walker exactly
+        occ0 = np.asarray(occu)
+        occ1 = np.asarray(out["occupancy"])
+        for w in range(nwalkers):
+            assert np.array_equal(
+                np.bincount(occ1[w], minlength=8),
+                np.bincount(occ0[w], minlength=8),
+            )
     kernel = sampler.mckernel
     feats = jax.vmap(kernel.full_features_fn())(out["occupancy"])
     exact = feats @ jnp.asarray(kernel.natural_params)
@@ -105,6 +115,75 @@ def test_accum_parity_spinel_ewald():
     occ = np.asarray(out["occupancy"])
     n_codes = np.array([len(sp) for sp in ens.processor.allowed_species])
     assert (occ >= 0).all() and (occ < n_codes[None, :]).all()
+
+
+def test_accum_parity_binary_canonical_swap():
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    _accum_parity(ens, move="swap")
+
+
+def test_accum_parity_ternary_canonical_swap():
+    ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    _accum_parity(ens, move="swap")
+
+
+def test_canonical_swap_matches_enumeration(monkeypatch):
+    """Chain-kernel canonical averages match exact fixed-composition sums.
+
+    The swap chain must leave the canonical (fixed-composition) Boltzmann
+    distribution invariant; compare against brute-force enumeration over
+    all arrangements at the walkers' composition.
+    """
+    from smol_tpu.cofe import ClusterSubspace
+    from smol_tpu.cofe.expansion import ClusterExpansion
+    from smol_tpu.crystal import Lattice, Structure
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+
+    a = 3.8
+    lat = Lattice(np.array([[0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]) * a)
+    prim = Structure(lat, [{"Au": 0.5, "Cu": 0.5}], [[0, 0, 0]])
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 3.0})
+    rng = np.random.default_rng(5)
+    coefs = rng.normal(scale=0.05, size=cs.num_corr_functions)
+    coefs[0] = -0.5
+    ce = ClusterExpansion(cs, coefs)
+
+    temperature = 1500.0
+    ens = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    n = ens.num_sites
+    n_au = n // 2
+    beta = 1 / (kB * temperature)
+    energies = []
+    from itertools import combinations
+
+    for aus in combinations(range(n), n_au):
+        occu = np.zeros(n, dtype=np.int32)
+        occu[list(aus)] = 1
+        feats = ens.compute_feature_vector(occu)
+        energies.append(float(np.dot(feats, ens.natural_parameters)))
+    energies = np.array(energies)
+    w = np.exp(-beta * (energies - energies.min()))
+    exact = float(np.dot(energies, w) / w.sum())
+
+    nwalkers = 16
+    occu = np.zeros((nwalkers, n), dtype=np.int32)
+    rng2 = np.random.default_rng(9)
+    for k in range(nwalkers):
+        occu[k, rng2.choice(n, n_au, replace=False)] = 1
+    sampler = Sampler.from_ensemble(
+        ens, temperature=temperature, nwalkers=nwalkers, seed=23
+    )
+    assert sampler._get_chain_fn(20) is not None, "swap chain not selected"
+    sampler.run(4000, occu, thin_by=20)
+    mc_mean = sampler.samples.mean_enthalpy(discard=50)
+    sem = np.sqrt(
+        sampler.samples.enthalpy_variance(discard=50)
+        / sampler.samples.get_enthalpies(discard=50).shape[0]
+    )
+    assert abs(mc_mean - exact) < max(30 * sem, 2e-2), (mc_mean, exact, sem)
 
 
 def test_multi_chunk_execution():
