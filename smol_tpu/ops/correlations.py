@@ -41,9 +41,33 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pair_planes(packed):
+    """[TMAX, P] f64 select planes: plane[t, p] = corr_flat[offset_p + t].
+
+    XLA's dynamic gather is near-scalar on TPU; the full-correlation kernel
+    instead SELECTS each cluster's tensor value from these precomputed
+    planes with a vectorized compare per tensor index (tensor extents are
+    <= ~64, and plane rows beyond a function's tensor length hold clipped
+    junk that the compare can never pick).
+    """
+    import numpy as np
+
+    corr_flat = np.asarray(packed.corr_flat)
+    offsets = np.asarray(packed.pair_offset)
+    uniq = np.unique(offsets)  # ascending tensor starts
+    ends = np.append(uniq[1:], len(corr_flat))
+    lengths = dict(zip(uniq.tolist(), (ends - uniq).tolist()))
+    tmax = max(lengths.values())
+    idx = np.minimum(
+        offsets[None, :] + np.arange(tmax)[:, None], len(corr_flat) - 1
+    )
+    return corr_flat[idx]
+
+
 def to_device(packed) -> DevicePacked:
     """Move a PackedSupercell's arrays to device as a pytree."""
     return DevicePacked(
+        pair_planes=jnp.asarray(_pair_planes(packed)),
         cluster_sites=jnp.asarray(packed.cluster_sites),
         cluster_strides=jnp.asarray(packed.cluster_strides),
         cluster_orbit=jnp.asarray(packed.cluster_orbit),
@@ -69,11 +93,24 @@ def tensor_indices(occu, dp: DevicePacked) -> jnp.ndarray:
     return jnp.sum(occ * dp.cluster_strides, axis=-1)
 
 
+def _select_planes(tloc, planes):
+    """vals[..., i] = planes[tloc[..., i], i] via vectorized compares.
+
+    ``tloc`` local tensor indices (any batch shape x [N]); ``planes``
+    [TMAX, N].  Replaces XLA's near-scalar TPU gather with TMAX fused
+    vector select passes.
+    """
+    vals = jnp.zeros(tloc.shape, planes.dtype)
+    for t in range(planes.shape[0]):
+        vals = jnp.where(tloc == t, planes[t], vals)
+    return vals
+
+
 @partial(jax.jit, static_argnames=("num_corr",))
 def corr_from_occupancy(occu, dp: DevicePacked, num_corr: int) -> jnp.ndarray:
     """Correlation vector [num_corr] f64 for one encoded occupancy."""
     tidx = tensor_indices(occu, dp)
-    vals = dp.corr_flat[dp.pair_offset + tidx[dp.pair_cluster]]
+    vals = _select_planes(tidx[dp.pair_cluster], dp.pair_planes)
     sums = jax.ops.segment_sum(vals, dp.pair_fn, num_segments=num_corr)
     corr = sums / dp.fn_cluster_count
     return corr.at[0].set(1.0)
@@ -85,7 +122,16 @@ def interactions_from_occupancy(
 ) -> jnp.ndarray:
     """Cluster-interaction vector [num_orbits] f64 (evaluator.pyx:170)."""
     tidx = tensor_indices(occu, dp)
-    vals = inter_flat[dp.orbit_offset[dp.cluster_orbit] + tidx]
+    # [TMAX, C] select planes from the caller's interaction tensors;
+    # occupancy-independent, so vmap over walkers leaves the (small,
+    # one-off) gather unbatched
+    offs = dp.orbit_offset[dp.cluster_orbit]
+    tmax = int(dp.pair_planes.shape[0])
+    idx = jnp.minimum(
+        offs[None, :] + jnp.arange(tmax)[:, None], inter_flat.shape[0] - 1
+    )
+    planes = inter_flat[idx]
+    vals = _select_planes(tidx, planes)
     sums = jax.ops.segment_sum(vals, dp.cluster_orbit, num_segments=num_orbits)
     out = sums / dp.orbit_cluster_count
     return out.at[0].set(offset)

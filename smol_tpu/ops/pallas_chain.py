@@ -117,7 +117,13 @@ class ChainTables:
     n_local: int  # L (padded to a power of two for the df reduction)
     tensor_max: int  # TM
     binary: bool  # every active sublattice has exactly 2 codes
-    gm: jnp.ndarray  # [R, L, Rpad] f32: strides onto neighbor ranks
+    # L-axis segments (l0, l1, ext): rows l0:l1 have tensor extent <= ext
+    # for every rank (rows are sorted per rank by descending extent), so
+    # the g-plane select loop runs only ext iterations on each segment
+    segments: tuple  # tuple of (int, int, int)
+    gm: jnp.ndarray  # [R, L, Rpad] bf16: strides onto neighbor ranks
+    #   (strides <= MAX_TENSOR < 256 and codes <= 16 are exact in bf16;
+    #   the MXU accumulates in f32, so the gather matmul stays exact)
     gcat: jnp.ndarray  # [R, L, 2*TM+1] f32: g_hi | g_lo | d2
     ncod: jnp.ndarray  # [1, R] int32 codes per rank
     rank_sites: jnp.ndarray  # [R] int32 supercell site of each rank
@@ -243,21 +249,59 @@ def build_chain_tables(processor, sublattices, mu_table=None,
     gm = np.zeros((R, L, rpad), dtype=np.float64)
     d2r = np.zeros((R, L), dtype=np.float64)
     g3r = np.zeros((R, L, tmax), dtype=np.float64)
+    ext = np.zeros((R, L), dtype=np.int64)  # tensor extent per local cluster
     for ri, site in enumerate(rank_sites):
         d2r[ri, :L0] = d2[site]
         g3r[ri, :L0] = g3[site]
         for l in range(L0):
+            if not valid_cluster[site, l]:
+                continue
+            e = 1
             for k in range(K):
                 st = strides3[site, l, k]
                 nb = sites3[site, l, k]
-                if st > 0 and nb != site:
+                if st <= 0:
+                    continue
+                e += st * (n_codes[nb] - 1)
+                if nb != site:
                     nr = rank_of_site[nb]
                     if nr < 0:
                         if n_codes[nb] != 1:
                             return None  # frozen multi-code neighbor
                         continue  # single-species neighbor: code 0
                     gm[ri, l, nr] += st
-    if gm.max(initial=0) >= 2**24 or d2r.max(initial=0) >= 2**24:
+            ext[ri, l] = e
+    # strides <= MAX_TENSOR < 256 are exact in bfloat16 (codes <= 16, MXU
+    # accumulates in f32), which the single-pass gather matmul relies on
+    if gm.max(initial=0) >= 256 or d2r.max(initial=0) >= 2**24:
+        return None
+
+    # sort every rank's local clusters by descending tensor extent, then
+    # partition the (shared) L axis into power-of-two segments so the
+    # g-plane select loop runs only as many iterations as each segment's
+    # worst extent (invalid/pad rows have extent 0 and all-zero g rows)
+    order = np.argsort(-ext, axis=1, kind="stable")
+    gm = np.take_along_axis(gm, order[:, :, None], axis=1)
+    d2r = np.take_along_axis(d2r, order, axis=1)
+    g3r = np.take_along_axis(g3r, order[:, :, None], axis=1)
+    pos_ext = np.take_along_axis(ext, order, axis=1).max(axis=0)
+
+    def _segment(l0, length):
+        e = int(pos_ext[l0])
+        if e == 0:
+            return []
+        if length <= 8:
+            return [(l0, l0 + length, e)]
+        half = length // 2
+        left = _segment(l0, half)
+        right = _segment(l0 + half, half)
+        split_cost = sum(
+            (b - a) * x for a, b, x in left + right
+        )
+        return left + right if split_cost < length * e else [(l0, l0 + length, e)]
+
+    segments = tuple(_segment(0, L))
+    if not segments:
         return None
 
     g_hi, g_lo = _split_f64(g3r)
@@ -349,12 +393,12 @@ def build_chain_tables(processor, sublattices, mu_table=None,
     Lp = 8
     while Lp < L0:
         Lp *= 2
-    working = 4 * (
-        4 * Lp * rpad_  # gm row double buffers (x2 roles for swaps)
-        + 4 * Lp * (2 * tmax + 1)  # gcat row double buffers
-        + (mu.size if mu is not None else 0)
-        + (ew_v.size if ew_v is not None else 0)
-        + rpad_ * 1024  # occupancy block (worst-case block size)
+    working = (
+        2 * 4 * Lp * rpad_  # bf16 gm row double buffers (x2 roles, swaps)
+        + 4 * 4 * Lp * (2 * tmax + 1)  # gcat row double buffers
+        + 4 * (mu.size if mu is not None else 0)
+        + 4 * (ew_v.size if ew_v is not None else 0)
+        + 4 * rpad_ * 1024  # occupancy block (worst-case block size)
     )
     if working > 10 * 2**20:
         return None
@@ -366,7 +410,8 @@ def build_chain_tables(processor, sublattices, mu_table=None,
         n_local=L,
         tensor_max=tmax,
         binary=binary,
-        gm=jnp.asarray(gm, dtype=jnp.float32),
+        segments=segments,
+        gm=jnp.asarray(gm, dtype=jnp.bfloat16),
         gcat=jnp.asarray(gcat),
         ncod=jnp.asarray(ncod),
         rank_sites=jnp.asarray(rank_sites, dtype=jnp.int32),
@@ -464,7 +509,8 @@ def make_shared_proposal_chain(
     C = t.mu_cols
     binary = t.binary
     has_mu, has_ewald = t.has_mu, t.has_ewald
-    table_bytes = 4 * (t.gm.size + t.gcat.size)
+    segments = t.segments
+    table_bytes = 2 * t.gm.size + 4 * t.gcat.size
     if streamed is None:
         streamed = table_bytes > VMEM_TABLE_BUDGET
 
@@ -542,48 +588,55 @@ def make_shared_proposal_chain(
                 jnp.where(iota_r == r, occ, 0.0), axis=0, keepdims=True
             )
 
-        def site_delta(gm_x, gcat_x, occ_x, a, b):
-            """Per-local-cluster df delta of flipping one site a -> b.
+        def site_delta(gm_x, gcat_x, occ_bf, a, b):
+            """df energy delta of flipping one site a -> b: [1, wb] pair.
 
-            Returns ([L, wb] hi, [L, wb] lo), to be L-reduced by caller.
+            The gather matmul runs in single-pass bf16 (strides and codes
+            are small integers, exact in bf16; MXU accumulates f32); the
+            g-plane select loops only over each L segment's tensor extent.
             """
-            d2_x = jax.lax.broadcast_in_dim(
-                gcat_x[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
-            )
-            t_part = jax.lax.dot(gm_x, occ_x, precision=_P)  # [L, wb]
-            t_old = t_part + a * d2_x
-            t_new = t_part + b * d2_x
-            zero = jnp.zeros((L, wb), jnp.float32)
-            hn = zero
-            ho = zero
-            ln_ = zero
-            lo_ = zero
-            for tt in range(TM):
-                ttf = jnp.float32(tt)
-                ghc = jax.lax.broadcast_in_dim(
-                    gcat_x[:, tt: tt + 1], (L, wb), (0, 1)
+            t_part = jax.lax.dot(
+                gm_x, occ_bf, preferred_element_type=jnp.float32
+            )  # [L, wb] f32, exact
+            dh_t = jnp.zeros((1, wb), jnp.float32)
+            dl_t = dh_t
+            for (l0, l1, ext_s) in segments:
+                ls = l1 - l0
+                d2_s = jax.lax.broadcast_in_dim(
+                    gcat_x[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
                 )
-                glc = jax.lax.broadcast_in_dim(
-                    gcat_x[:, TM + tt: TM + tt + 1], (L, wb), (0, 1)
-                )
-                mn = t_new == ttf
-                mo = t_old == ttf
-                hn = jnp.where(mn, ghc, hn)
-                ho = jnp.where(mo, ghc, ho)
-                ln_ = jnp.where(mn, glc, ln_)
-                lo_ = jnp.where(mo, glc, lo_)
-            return _df_add(hn, ln_, -ho, -lo_)
-
-        def reduce_l(dh, dl):
-            width = L
-            while width > 1:
-                half = width // 2
-                dh, dl = _df_add(
-                    dh[:half, :], dl[:half, :],
-                    dh[half:width, :], dl[half:width, :],
-                )
-                width = half
-            return dh, dl  # [1, wb]
+                t_old = t_part[l0:l1] + a * d2_s
+                t_new = t_part[l0:l1] + b * d2_s
+                zero = jnp.zeros((ls, wb), jnp.float32)
+                hn = zero
+                ho = zero
+                ln_ = zero
+                lo_ = zero
+                for tt in range(ext_s):
+                    ttf = jnp.float32(tt)
+                    ghc = jax.lax.broadcast_in_dim(
+                        gcat_x[l0:l1, tt: tt + 1], (ls, wb), (0, 1)
+                    )
+                    glc = jax.lax.broadcast_in_dim(
+                        gcat_x[l0:l1, TM + tt: TM + tt + 1], (ls, wb), (0, 1)
+                    )
+                    mn = t_new == ttf
+                    mo = t_old == ttf
+                    hn = jnp.where(mn, ghc, hn)
+                    ho = jnp.where(mo, ghc, ho)
+                    ln_ = jnp.where(mn, glc, ln_)
+                    lo_ = jnp.where(mo, glc, lo_)
+                dh, dl = _df_add(hn, ln_, -ho, -lo_)
+                width = ls  # power-of-two segment tree reduction
+                while width > 1:
+                    half = width // 2
+                    dh, dl = _df_add(
+                        dh[:half, :], dl[:half, :],
+                        dh[half:width, :], dl[half:width, :],
+                    )
+                    width = half
+                dh_t, dl_t = _df_add(dh_t, dl_t, dh, dl)
+            return dh_t, dl_t  # [1, wb]
 
         def ewald_delta(r, sign, occ_x):
             """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""
@@ -615,6 +668,7 @@ def make_shared_proposal_chain(
 
             # ---- proposal + joint energy delta ----
             a = select_code(occ, u)  # [1, wb] f32
+            occ_bf = occ.astype(jnp.bfloat16)
             if swap:
                 v = vseq_ref[block, i]
                 if not streamed:
@@ -623,15 +677,19 @@ def make_shared_proposal_chain(
                 av = select_code(occ, v)
                 b = av  # u takes v's species, v takes u's
                 is_move = a != av  # [1, wb] bool; null pairs are identity
-                d1h, d1l = site_delta(gm_u, gcat_u, occ, a, b)
+                d1h, d1l = site_delta(gm_u, gcat_u, occ_bf, a, b)
                 # v's delta is evaluated with u's flip already applied
-                occ1 = jnp.where(
-                    jnp.broadcast_to(iota_r == u, (RP, wb)),
-                    jnp.broadcast_to(b, (RP, wb)), occ,
+                u_rows = jnp.broadcast_to(iota_r == u, (RP, wb))
+                occ1_bf = jnp.where(
+                    u_rows, jnp.broadcast_to(b, (RP, wb)).astype(jnp.bfloat16),
+                    occ_bf,
                 )
-                d2h, d2l = site_delta(gm_v, gcat_v, occ1, av, a)
-                dh, dl = reduce_l(*_df_add(d1h, d1l, d2h, d2l))
+                d2h, d2l = site_delta(gm_v, gcat_v, occ1_bf, av, a)
+                dh, dl = _df_add(d1h, d1l, d2h, d2l)
                 if has_ewald:
+                    occ1 = jnp.where(
+                        u_rows, jnp.broadcast_to(b, (RP, wb)), occ
+                    )
                     sign = b - a  # [1, wb]; 0 for null pairs
                     e1h, e1l = ewald_delta(u, sign, occ)
                     e2h, e2l = ewald_delta(v, -sign, occ1)
@@ -647,7 +705,7 @@ def make_shared_proposal_chain(
                         j = jax.lax.rem(_pos_bits((1, wb)), nc)
                     jf = j.astype(jnp.float32)
                     b = jf + (jf >= a).astype(jnp.float32)
-                dh, dl = reduce_l(*site_delta(gm_u, gcat_u, occ, a, b))
+                dh, dl = site_delta(gm_u, gcat_u, occ_bf, a, b)
                 if has_ewald:
                     sign = b - a  # [1, wb] in {-1, +1}
                     eh, el = ewald_delta(u, sign, occ)
@@ -783,7 +841,7 @@ def make_shared_proposal_chain(
                 shp
                 for _ in range(n_roles)
                 for shp in (
-                    pltpu.VMEM((2, L, RP), jnp.float32),
+                    pltpu.VMEM((2, L, RP), jnp.bfloat16),
                     pltpu.VMEM((2, L, GW), jnp.float32),
                 )
             ] + [
