@@ -28,10 +28,12 @@ except ImportError:  # pragma: no cover - version fallback
 __all__ = ["make_sharded_corr_fn"]
 
 
-def _local_corr(occu, sites, strides, offsets, fns, mask, corr_flat,
+def _local_corr(occu, sites, strides, fns, mask, planes,
                 fn_cluster_count, num_corr: int, axis_name: str):
+    from smol_tpu.ops.correlations import _select_planes
+
     tidx = jnp.sum(occu[sites] * strides, axis=-1)
-    vals = jnp.where(mask, corr_flat[offsets + tidx], 0.0)
+    vals = jnp.where(mask, _select_planes(tidx, planes), 0.0)
     sums = jax.ops.segment_sum(vals, fns, num_segments=num_corr)
     sums = jax.lax.psum(sums, axis_name)
     corr = sums / fn_cluster_count
@@ -58,26 +60,27 @@ def make_sharded_corr_fn(packed, mesh: Mesh, axis_name: str | None = None):
     num_corr = packed.num_corr
 
     # flatten cluster tables to per-pair rows, pad to a device multiple
+    from smol_tpu.ops.correlations import _pair_planes
+
     pc = packed.pair_cluster.astype(np.int64)
     sites = packed.cluster_sites[pc]  # [P, K]
     strides = packed.cluster_strides[pc]
-    offsets = packed.pair_offset.astype(np.int64)
     fns = packed.pair_fn.astype(np.int64)
+    planes = _pair_planes(packed)  # [TMAX, P] value select planes
     P_true = len(fns)
     pad = (-P_true) % n_dev
     if pad:
         sites = np.pad(sites, ((0, pad), (0, 0)))
         strides = np.pad(strides, ((0, pad), (0, 0)))
-        offsets = np.pad(offsets, (0, pad))
         fns = np.pad(fns, (0, pad))
+        planes = np.pad(planes, ((0, 0), (0, pad)))
     mask = np.arange(P_true + pad) < P_true
 
     sites_d = jnp.asarray(sites, dtype=jnp.int32)
     strides_d = jnp.asarray(strides, dtype=jnp.int32)
-    offsets_d = jnp.asarray(offsets, dtype=jnp.int32)
     fns_d = jnp.asarray(fns, dtype=jnp.int32)
     mask_d = jnp.asarray(mask)
-    corr_flat = jnp.asarray(packed.corr_flat)
+    planes_d = jnp.asarray(planes)
     fcc = jnp.asarray(packed.fn_cluster_count)
 
     local = partial(
@@ -91,8 +94,7 @@ def make_sharded_corr_fn(packed, mesh: Mesh, axis_name: str | None = None):
         in_specs=(
             P(),  # occu replicated
             P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-            P(axis_name),
-            P(),  # corr_flat replicated
+            P(None, axis_name),  # planes shard over the pair column axis
             P(),  # fn_cluster_count replicated
         ),
         out_specs=P(),
@@ -102,7 +104,7 @@ def make_sharded_corr_fn(packed, mesh: Mesh, axis_name: str | None = None):
     def fn(occu):
         return mapped(
             jnp.asarray(occu, dtype=jnp.int32),
-            sites_d, strides_d, offsets_d, fns_d, mask_d, corr_flat, fcc,
+            sites_d, strides_d, fns_d, mask_d, planes_d, fcc,
         )
 
     return fn

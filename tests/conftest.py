@@ -11,10 +11,17 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# persistent XLA compile cache: repeat suite runs (and the example
+# subprocesses, which inherit the env var) skip recompilation
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/smol_tpu_xla_cache"
+)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
