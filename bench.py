@@ -61,7 +61,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["canonical", "sgc", "spinel", "spinel-ewald", "tempering"],
+        choices=[
+            "canonical", "sgc", "spinel", "spinel-ewald", "tempering",
+            "wang-landau", "sqs",
+        ],
         default="spinel",
     )
     parser.add_argument("--smoke", action="store_true", help="small, CPU-friendly run")
@@ -137,6 +140,81 @@ def main():
             if cfg == "spinel"
             else "metropolis_flip_attempts_per_sec_per_chip_spinel112_ewald"
         )
+    elif cfg == "wang-landau":
+        # BASELINE config 4a: flat-histogram DOS sampling, windowed walkers
+        ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+        ensemble = Ensemble.from_cluster_expansion(
+            ce, np.diag([2, 2, 2] if args.smoke else [3, 3, 3])
+        )
+        n = ensemble.num_sites
+        occu = rng.integers(0, 2, (nwalkers, n)).astype(np.int32)
+        # a generous window around the energies reachable from random starts
+        probe = np.array([
+            float(
+                ensemble.compute_feature_vector(o) @ ensemble.natural_parameters
+            )
+            for o in occu[:64]
+        ])
+        span = probe.max() - probe.min() + 1e-3
+        sampler = Sampler.from_ensemble(
+            ensemble,
+            kernel_type="wang-landau",
+            step_type="flip",
+            min_enthalpy=probe.min() - 2 * span,
+            max_enthalpy=probe.max() + 2 * span,
+            bin_size=span / 50,
+            flatness=0.8,
+            nwalkers=nwalkers,
+            seed=13,
+        )
+        metric = "wang_landau_flip_attempts_per_sec_per_chip"
+    elif cfg == "sqs":
+        # BASELINE config 4b: SQS score-annealing attempts across shapes
+        from smol_tpu.capp import StochasticSQSGenerator
+
+        prim = fcc_binary_prim()
+        generator = StochasticSQSGenerator.from_structure(
+            prim, cutoffs={2: 5.0, 3: 3.5},
+            supercell_size=4 if args.smoke else 8,
+        )
+        n_shapes = len(generator.processors)
+        sqs_walkers = args.walkers or (16 if args.smoke else 512)
+        sqs_steps = args.steps or (100 if args.smoke else 3000)
+        temps = np.linspace(5.0, 0.02, 3 if args.smoke else 6)
+        attempts = n_shapes * len(temps) * sqs_steps * sqs_walkers
+
+        t0 = time.perf_counter()  # warmup incl. compile
+        generator.generate(
+            mcmc_steps=sqs_steps, temperatures=temps,
+            nwalkers=sqs_walkers, seed=23,
+        )
+        warmup = time.perf_counter() - t0
+        rates = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            generator.generate(
+                mcmc_steps=sqs_steps, temperatures=temps,
+                nwalkers=sqs_walkers, seed=24 + rep,
+            )
+            rates.append(attempts / (time.perf_counter() - t0))
+        rate = float(np.median(rates))
+        print(
+            f"bench: shapes={n_shapes} temps={len(temps)} steps={sqs_steps} "
+            f"walkers={sqs_walkers} warmup={warmup:.1f}s "
+            f"median={rate/1e6:.1f}M",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "sqs_anneal_attempts_per_sec_per_chip",
+                    "value": rate,
+                    "unit": "attempts/s",
+                    "vs_baseline": rate / 1e8,
+                }
+            )
+        )
+        return 0
     else:  # tempering
         from smol_tpu.parallel import make_temperature_ladder
 
