@@ -486,22 +486,23 @@ def _wl_step(propose_fn, apply_fn, params, state, key):
         cur_bin = jnp.clip(bin_of(enthalpy), 0, num_levels - 1)
         cur_valid = (enthalpy >= min_enthalpy) & (enthalpy < max_enthalpy)
         counter = counter + cur_valid.astype(jnp.int32)
+        # conditional updates mask the UPDATED ROW/VALUE, not the whole
+        # array: a full-array jnp.where would copy [L] / [L, F] state per
+        # step, which at thousands of walkers is ~100 MB of HBM traffic
+        # per MC step and dominates the whole chain
         total = occurrences[cur_bin]
         new_mean = (features + total * mean_features[cur_bin]) / (total + 1)
-        mean_features = jnp.where(
-            cur_valid,
-            mean_features.at[cur_bin].set(new_mean),
-            mean_features,
+        mean_features = mean_features.at[cur_bin].set(
+            jnp.where(cur_valid, new_mean, mean_features[cur_bin])
         )
         do_update = cur_valid & (
             jnp.mod(counter, params["update_period"]) == 0
         )
-        entropy = jnp.where(
-            do_update, entropy.at[cur_bin].add(mod_factor), entropy
-        )
-        histogram = jnp.where(do_update, histogram.at[cur_bin].add(1), histogram)
-        occurrences = jnp.where(
-            do_update, occurrences.at[cur_bin].add(1), occurrences
+        upd = do_update.astype(entropy.dtype)
+        entropy = entropy.at[cur_bin].add(upd * mod_factor)
+        histogram = histogram.at[cur_bin].add(do_update.astype(histogram.dtype))
+        occurrences = occurrences.at[cur_bin].add(
+            do_update.astype(occurrences.dtype)
         )
 
         # flatness check every check_period valid steps
