@@ -142,6 +142,10 @@ def main():
         )
     elif cfg == "wang-landau":
         # BASELINE config 4a: flat-histogram DOS sampling, windowed walkers
+        # (runs the per-step XLA path; sized so launches stay well inside
+        # the worker execution limits)
+        nwalkers = args.walkers or (64 if args.smoke else 2048)
+        nsteps = args.steps or (200 if args.smoke else 10000)
         ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
         ensemble = Ensemble.from_cluster_expansion(
             ce, np.diag([2, 2, 2] if args.smoke else [3, 3, 3])
@@ -236,6 +240,11 @@ def main():
     thin_by = nsteps
     if cfg == "tempering":
         thin_by = nsteps - nsteps % 10 or nsteps
+    elif cfg == "wang-landau":
+        # WL runs the per-step XLA path: keep each device launch
+        # seconds-scale (very long single launches can trip worker
+        # execution deadlines)
+        thin_by = min(500, nsteps)
     rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
     print(
         json.dumps(

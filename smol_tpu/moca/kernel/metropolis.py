@@ -69,40 +69,95 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         )
 
     def _build_fast_tables(self):
-        """Zero-gather fast path for plain Flip/Swap Metropolis.
+        """Zero-gather fast path for Flip/Swap/TableFlip Metropolis.
 
-        Applies when no features are tracked, no bias/priori factor is set,
-        and the usher is a plain Flip or Swap (see smol_tpu.ops.fastmc for
-        the applicability constraints: <= 16 codes/site, tensor size <= 128).
+        Applies when no features are tracked and no bias is set (see
+        smol_tpu.ops.fastmc for the table constraints: <= 16 codes/site,
+        tensor size <= 128).  TableFlip additionally supports a composite
+        CE + Ewald processor (the Ewald delta runs as an additive one-hot
+        term, smol_tpu.ops.fastmc.EwaldFlipTables).
         """
         from smol_tpu.moca.kernel.mcusher import Flip, Swap
+        from smol_tpu.moca.kernel.tableflip import TableFlip
         from smol_tpu.ops import fastmc
 
         if self.track_features or self._bias is not None:
             return None
-        if type(self.mcusher) not in (Flip, Swap):
-            return None
-        if self.mcusher.device_log_priori() is not None:
-            return None
+        if type(self.mcusher) in (Flip, Swap):
+            if self.mcusher.device_log_priori() is not None:
+                return None
+            tables = fastmc.build_fast_tables(
+                self._ensemble.processor,
+                self._ensemble.sublattices,
+                mu_table=self._ensemble.chemical_potential_table,
+                sublattice_probabilities=self.mcusher.sublattice_probabilities,
+            )
+            if tables is None:
+                return None
+            return (tables, "flip" if type(self.mcusher) is Flip else "swap")
+        if type(self.mcusher) is TableFlip:
+            built = self._build_tableflip_fast()
+            if built is not None:
+                return built
+        return None
+
+    def _build_tableflip_fast(self):
+        """(tables, "tableflip", rank_map, ewald_tables) or None."""
+        import numpy as np
+
+        from smol_tpu.moca.processor.ewald import EwaldProcessor
+        from smol_tpu.ops import fastmc
+
+        processor = self._ensemble.processor
+        ce_proc, ewald_proc = processor, None
+        subs = getattr(processor, "processors", None)
+        if subs is not None:
+            ce_parts = [p for p in subs if getattr(p, "fast_path_ok", False)]
+            ew_parts = [p for p in subs if isinstance(p, EwaldProcessor)]
+            if len(ce_parts) != 1 or len(ce_parts) + len(ew_parts) != len(subs):
+                return None
+            ce_proc = ce_parts[0]
+            ewald_proc = ew_parts[0] if ew_parts else None
         tables = fastmc.build_fast_tables(
-            self._ensemble.processor,
+            ce_proc,
             self._ensemble.sublattices,
             mu_table=self._ensemble.chemical_potential_table,
-            sublattice_probabilities=self.mcusher.sublattice_probabilities,
         )
         if tables is None:
             return None
-        return (tables, "flip" if type(self.mcusher) is Flip else "swap")
+        n = self._ensemble.num_sites
+        rank_map = np.zeros(n, dtype=np.int32)
+        rank = 0
+        cmax = 1
+        for sl in self._ensemble.sublattices:
+            cmax = max(cmax, len(sl.encoding))
+            if not sl.is_active:
+                continue
+            for s in sl.active_sites:
+                rank_map[int(s)] = rank
+                rank += 1
+        ew_tables = None
+        if ewald_proc is not None:
+            ew_tables = fastmc.build_ewald_flip_tables(ewald_proc, n, cmax)
+            if ew_tables is None:
+                return None
+        return (tables, "tableflip", rank_map, ew_tables)
 
     def make_step_fn(self):
         from smol_tpu.ops import fastmc
 
         fast = self._get_fast_tables()
         if fast is not None:
-            tables, kind = fast
-            if kind == "flip":
-                return fastmc.make_fast_flip_step(tables)
-            return fastmc.make_fast_swap_step(tables)
+            if fast[1] == "flip":
+                return fastmc.make_fast_flip_step(fast[0])
+            if fast[1] == "swap":
+                return fastmc.make_fast_swap_step(fast[0])
+            tables, _, rank_map, ew_tables = fast
+            propose_fn, _ = self.mcusher.device_proposal()
+            priori_fn = self.mcusher.device_log_priori()
+            return fastmc.make_fast_tableflip_step(
+                tables, rank_map, propose_fn, priori_fn, ew_tables
+            )
         propose_fn, _ = self.mcusher.device_proposal()
         return devmc.make_metropolis_step(
             propose_fn, self._device_applier(), self._device_log_priori()

@@ -687,3 +687,234 @@ def _fast_swap_step(t, state, key):
         return out
 
     return step(state, key)
+
+
+# ---------------------------------------------------------------------------
+# Ewald electrostatics on the fast path (general codes)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EwaldFlipTables:
+    """Zero-gather Ewald single-flip deltas for arbitrary site codes.
+
+    dE(site s: a -> b) = 2 (V[r_b] - V[r_a]) . bvec + Q[s, b, a], where
+    bvec is the occupied-row indicator of the current occupancy (which
+    includes r_a; the constant Q absorbs the self/cross corrections:
+    Q = M[r_b,r_b] + M[r_a,r_a] - 2 M[r_b,r_a], vacancy rows = 0).
+    All rows are coefficient-folded.  Reference: the O(N) row sweep
+    smol/utils/cluster/ewald.pyx:9-58, reformulated as one-hot matmuls
+    (XLA TPU dynamic gathers are near-scalar under vmap).
+
+    Numerical contract: hi/lo f32 split rows with f32 accumulation —
+    acceptance-grade (~1e-6 relative); recorded trace enthalpies are
+    recomputed exactly at thinning points (sampler record path).
+    """
+
+    n_ew: int  # padded row count (last row = zero/vacancy)
+    inds: jnp.ndarray  # [N, Cmax] int32 ewald row of (site, code); n_ew=vac
+    vrow_hi: jnp.ndarray  # [n_ew + 1, n_ew + 1] f32 2*coef*M rows (pad 0)
+    vrow_lo: jnp.ndarray  # [n_ew + 1, n_ew + 1] f32
+    q: jnp.ndarray  # [N, Cmax, Cmax] f32  Q[s, b, a]
+    bmats: tuple  # per-code static placement matrices [N, n_ew + 1] f32
+
+
+_EW_ARRAY_FIELDS = ("inds", "vrow_hi", "vrow_lo", "q", "bmats")
+
+
+jax.tree_util.register_pytree_node(
+    EwaldFlipTables,
+    lambda e: (
+        tuple(getattr(e, f) for f in _EW_ARRAY_FIELDS),
+        (e.n_ew,),
+    ),
+    lambda aux, leaves: EwaldFlipTables(
+        n_ew=aux[0], **dict(zip(_EW_ARRAY_FIELDS, leaves))
+    ),
+)
+
+
+def build_ewald_flip_tables(ewald_proc, num_sites: int, cmax: int):
+    """Build EwaldFlipTables from an EwaldProcessor, or None."""
+    M = np.asarray(ewald_proc.ewald_matrix, dtype=np.float64)
+    inds_raw = np.asarray(ewald_proc._ewald_inds)
+    coef = float(np.atleast_1d(ewald_proc.coefs)[0])
+    n_ew = M.shape[0]
+    inds = np.full((num_sites, cmax), n_ew, dtype=np.int64)
+    for s in range(num_sites):
+        for c in range(min(cmax, inds_raw.shape[1])):
+            r = int(inds_raw[s, c])
+            if 0 <= r < n_ew:
+                inds[s, c] = r
+    # 2*coef*M rows, zero-padded vacancy row/column
+    V = np.zeros((n_ew + 1, n_ew + 1), dtype=np.float64)
+    V[:n_ew, :n_ew] = 2.0 * coef * M
+    vh = V.astype(np.float32)
+    vl = (V - vh.astype(np.float64)).astype(np.float32)
+    Mp = np.zeros((n_ew + 1, n_ew + 1), dtype=np.float64)
+    Mp[:n_ew, :n_ew] = M
+    q = np.zeros((num_sites, cmax, cmax), dtype=np.float64)
+    for s in range(num_sites):
+        for b in range(cmax):
+            for a in range(cmax):
+                rb, ra = inds[s, b], inds[s, a]
+                q[s, b, a] = coef * (
+                    Mp[rb, rb] + Mp[ra, ra] - 2.0 * Mp[rb, ra]
+                )
+    bmats = []
+    for c in range(cmax):
+        B = np.zeros((num_sites, n_ew + 1), dtype=np.float32)
+        B[np.arange(num_sites), inds[:, c]] = 1.0
+        B[:, n_ew] = 0.0  # vacancies contribute nothing
+        bmats.append(jnp.asarray(B))
+    return EwaldFlipTables(
+        n_ew=n_ew,
+        inds=jnp.asarray(inds.astype(np.int32)),
+        vrow_hi=jnp.asarray(vh),
+        vrow_lo=jnp.asarray(vl),
+        q=jnp.asarray(q.astype(np.float32)),
+        bmats=tuple(bmats),
+    )
+
+
+def ewald_bvec(occu, et: EwaldFlipTables):
+    """Occupied-row indicator [W, n_ew + 1] f32 from occupancies [W, N]."""
+    out = None
+    for c, B in enumerate(et.bmats):
+        x = (occu == c).astype(jnp.float32)
+        term = jax.lax.dot(x, B, precision=jax.lax.Precision.HIGHEST)
+        out = term if out is None else out + term
+    return out
+
+
+def _ewald_row_of(site, code, et: EwaldFlipTables):
+    """r(site, code) [W] via two-level one-hot select (gather-free)."""
+    N, C = et.inds.shape
+    row = jnp.sum(
+        jnp.where(
+            (site[:, None] == jnp.arange(N)[None, :])[:, :, None],
+            et.inds[None, :, :], 0,
+        ),
+        axis=1,
+    )  # [W, C]
+    return jnp.sum(
+        jnp.where(code[:, None] == jnp.arange(C)[None, :], row, 0), axis=1
+    )
+
+
+def ewald_flip_delta(bvec, site, a, b, et: EwaldFlipTables):
+    """dE [W] f32-split and the bvec increment for applying the flip."""
+    ra = _ewald_row_of(site, a, et)
+    rb = _ewald_row_of(site, b, et)
+    oh_a = (ra[:, None] == jnp.arange(et.n_ew + 1)[None, :]).astype(
+        jnp.float32
+    )
+    oh_b = (rb[:, None] == jnp.arange(et.n_ew + 1)[None, :]).astype(
+        jnp.float32
+    )
+    doh = oh_b - oh_a
+    vh = jax.lax.dot(doh, et.vrow_hi, precision=jax.lax.Precision.HIGHEST)
+    vl = jax.lax.dot(doh, et.vrow_lo, precision=jax.lax.Precision.HIGHEST)
+    dot = jnp.sum((vh + vl) * bvec, axis=1)
+    # Q[site, b, a] via one-hot over (site), then (b, a)
+    N, C = et.inds.shape
+    q_site = jnp.sum(
+        jnp.where(
+            (site[:, None] == jnp.arange(N)[None, :])[:, :, None, None],
+            et.q[None, :, :, :], 0.0,
+        ),
+        axis=1,
+    )  # [W, C, C]
+    q_b = jnp.sum(
+        jnp.where(
+            (b[:, None] == jnp.arange(C)[None, :])[:, :, None], q_site, 0.0
+        ),
+        axis=1,
+    )
+    q_ba = jnp.sum(
+        jnp.where(a[:, None] == jnp.arange(C)[None, :], q_b, 0.0), axis=1
+    )
+    de = (dot + q_ba).astype(jnp.float64)
+    return de, doh
+
+
+# ---------------------------------------------------------------------------
+# fast TableFlip step: vectorized proposal + zero-gather sequential deltas
+# ---------------------------------------------------------------------------
+
+
+def make_fast_tableflip_step(
+    t: FastTables,
+    rank_map,
+    propose_fn,
+    priori_fn,
+    ewald_tables: EwaldFlipTables | None = None,
+):
+    """Metropolis TableFlip step over packed walker state.
+
+    ``propose_fn``/``priori_fn`` are the TableFlip usher's per-walker device
+    functions; deltas run through the zero-gather one-hot machinery
+    (_flip_delta) with sequential multi-slot semantics, plus an optional
+    additive Ewald term.  Returned as a Partial pytree for shared
+    compilation (slot width comes from the proposal output shape, the site
+    count from the rank map length).
+    """
+    return Partial(
+        _fast_tableflip_step,
+        t,
+        jnp.asarray(rank_map, dtype=jnp.int32),
+        Partial(propose_fn) if not isinstance(propose_fn, Partial) else propose_fn,
+        Partial(priori_fn) if not isinstance(priori_fn, Partial) else priori_fn,
+        ewald_tables,
+    )
+
+
+def _fast_tableflip_step(t, rank_map, propose_fn, priori_fn, et, state, key):
+    cb = 1 if t.binary else 4
+    num_sites = rank_map.shape[0]
+    iota_w = jnp.arange(t.num_words, dtype=jnp.uint32)
+    words = state["words"]
+    W = words.shape[0]
+    occu = unpack_occupancy(words, num_sites, cb)
+
+    k_prop, k_acc = jax.random.split(key)
+    prop_keys = jax.random.split(k_prop, W)
+    sites, codes, valid, _ = jax.vmap(propose_fn)(prop_keys, occu)
+    logp = jax.vmap(priori_fn)(occu, sites, codes, valid)
+
+    iota_n = jnp.arange(num_sites)
+    dh = jnp.zeros(W, dtype=jnp.float64)
+    words_new = words
+    if et is not None:
+        bvec = ewald_bvec(occu, et)
+    for i in range(sites.shape[1]):
+        site_i = sites[:, i]
+        code_i = codes[:, i]
+        v_i = valid[:, i]
+        rank_i = jnp.sum(
+            jnp.where(
+                site_i[:, None] == iota_n[None, :], rank_map[None, :], 0
+            ),
+            axis=1,
+        )
+        a_i, word_s = _read_site_code(words_new, site_i, iota_w, cb)
+        de, dwork = _flip_delta(words_new, rank_i, a_i, code_i, t)
+        if et is not None:
+            de_ew, doh = ewald_flip_delta(bvec, site_i, a_i, code_i, et)
+            de = de + de_ew
+            bvec = bvec + jnp.where(v_i[:, None], doh, 0.0)
+        dh = dh + jnp.where(v_i, de - dwork, 0.0)
+        words_new = _write_site_code(
+            words_new, site_i, code_i, word_s, v_i, iota_w, cb
+        )
+
+    beta = state["beta"]
+    expo = -beta * dh + logp
+    u = jax.random.uniform(k_acc, (W,), dtype=jnp.float64)
+    accept = (expo >= 0) | (expo > jnp.log(u))
+    out = dict(state)
+    out["words"] = jnp.where(accept[:, None], words_new, words)
+    out["enthalpy"] = state["enthalpy"] + jnp.where(accept, dh, 0.0)
+    out["accepted"] = accept
+    out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
+    return out

@@ -111,6 +111,46 @@ def _choose_sublattice(key, tables: SublatticeTables):
 
 
 # ---------------------------------------------------------------------------
+# gather-free selects
+#
+# On TPU, XLA lowers a vmapped DYNAMIC-index gather (traced scalar index
+# into a per-walker or shared array) to a near-scalar loop: ~30 ms for 2048
+# walkers even on a 2-element table (measured), which caps every XLA MC
+# path.  STATIC-index gathers are fine.  These helpers replace dynamic
+# indexing with vectorized one-hot compare-selects.
+# ---------------------------------------------------------------------------
+
+
+def sel_row(table, idx):
+    """``table[idx]`` for a traced scalar ``idx``, gather-free."""
+    T = table.shape[0]
+    oh = (jnp.arange(T) == idx).reshape((T,) + (1,) * (table.ndim - 1))
+    out = jnp.sum(jnp.where(oh, table, jnp.zeros_like(table)), axis=0)
+    return out.astype(table.dtype)
+
+
+def sel_vec(vec, idxs):
+    """``vec[idxs]`` for 1-D ``vec`` and a traced index vector, gather-free."""
+    oh = idxs[:, None] == jnp.arange(vec.shape[0])[None, :]
+    out = jnp.sum(jnp.where(oh, vec[None, :], jnp.zeros_like(vec)[None, :]),
+                  axis=1)
+    return out.astype(vec.dtype)
+
+
+def set_vec(vec, idxs, vals, mask):
+    """``vec.at[idxs].set(vals)`` where ``mask``, scatter-free.
+
+    Masked duplicate indices must not occur (every proposal maker emits
+    distinct valid sites within one step).
+    """
+    hit = (idxs[:, None] == jnp.arange(vec.shape[0])[None, :]) & mask[:, None]
+    newv = jnp.sum(
+        jnp.where(hit, vals[:, None], jnp.zeros_like(vec)[None, :]), axis=0
+    )
+    return jnp.where(jnp.any(hit, axis=0), newv.astype(vec.dtype), vec)
+
+
+# ---------------------------------------------------------------------------
 # proposals
 # ---------------------------------------------------------------------------
 
@@ -119,14 +159,14 @@ def _flip_propose(tables, key, occu):
     """Single-site flip to a different random allowed species (Flip usher)."""
     k_sl, k_site, k_code = jax.random.split(key, 3)
     sl = _choose_sublattice(k_sl, tables)
-    i = jax.random.randint(k_site, (), 0, tables.n_active[sl])
-    site = tables.active_sites[sl, i]
-    cur = occu[site]
-    codes = tables.encodings[sl]
+    i = jax.random.randint(k_site, (), 0, sel_row(tables.n_active, sl))
+    site = sel_row(sel_row(tables.active_sites, sl), i)
+    cur = sel_row(occu, site)
+    codes = sel_row(tables.encodings, sl)
     pos = jnp.argmax(codes == cur)
-    j = jax.random.randint(k_code, (), 0, tables.n_codes[sl] - 1)
+    j = jax.random.randint(k_code, (), 0, sel_row(tables.n_codes, sl) - 1)
     j = j + (j >= pos)
-    code = codes[j]
+    code = sel_row(codes, j)
     return (
         jnp.array([site], dtype=jnp.int32),
         jnp.array([code], dtype=jnp.int32),
@@ -149,19 +189,22 @@ def _swap_propose(tables, key, occu):
     """
     k_sl, k1, k2 = jax.random.split(key, 3)
     sl = _choose_sublattice(k_sl, tables)
-    i = jax.random.randint(k1, (), 0, tables.n_active[sl])
-    site1 = tables.active_sites[sl, i]
-    sp1 = occu[site1]
-    act = tables.active_sites[sl]  # [A]
-    in_range = jnp.arange(act.shape[0]) < tables.n_active[sl]
-    mask = in_range & (occu[act] != sp1)
+    n_act = sel_row(tables.n_active, sl)
+    i = jax.random.randint(k1, (), 0, n_act)
+    act = sel_row(tables.active_sites, sl)  # [A]
+    site1 = sel_row(act, i)
+    occ_act = sel_vec(occu, act)  # [A]
+    sp1 = sel_row(occ_act, i)
+    in_range = jnp.arange(act.shape[0]) < n_act
+    mask = in_range & (occ_act != sp1)
     count = jnp.sum(mask)
     m = jax.random.randint(k2, (), 0, jnp.maximum(count, 1))
     cum = jnp.cumsum(mask)
-    site2 = act[jnp.argmax(mask & (cum == m + 1))]
+    j2 = jnp.argmax(mask & (cum == m + 1))
+    site2 = sel_row(act, j2)
     has = count > 0
     sites = jnp.array([site1, site2], dtype=jnp.int32)
-    codes = jnp.stack([occu[site2], sp1]).astype(jnp.int32)
+    codes = jnp.stack([sel_row(occ_act, j2), sp1]).astype(jnp.int32)
     return sites, codes, jnp.array([has, has]), jnp.float64(0.0)
 
 
@@ -177,7 +220,9 @@ def _multistep_fn(max_len: int, base_width: int):
     def propose(base_propose, lengths_arr, cum_probs, key, occu):
         k_len, key = jax.random.split(key)
         u = jax.random.uniform(k_len)
-        length = lengths_arr[jnp.searchsorted(cum_probs, u, side="right")]
+        length = sel_row(
+            lengths_arr, jnp.searchsorted(cum_probs, u, side="right")
+        )
         sites = jnp.zeros(total, dtype=jnp.int32)
         codes = jnp.zeros(total, dtype=jnp.int32)
         valid = jnp.zeros(total, dtype=bool)
@@ -280,9 +325,8 @@ def _as_partial(fn):
 
 
 def _apply_flips(occu, sites, codes, valid):
-    """Apply masked flips (scatter; invalid flips write their current value)."""
-    safe_codes = jnp.where(valid, codes, occu[sites])
-    return occu.at[sites].set(safe_codes)
+    """Apply masked flips (gather/scatter-free one-hot writes)."""
+    return set_vec(occu, sites, codes, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +341,7 @@ def _applier_fn(has_mu: bool, num_features: int):
 
     def apply(de_fn, df_fn, mu, occu, sites, codes, valid):
         n_flips = sites.shape[0]
+        iota_n = jnp.arange(occu.shape[0])
         dh = jnp.float64(0.0)
         dfeat = (
             jnp.zeros(num_features, dtype=jnp.float64) if has_features else None
@@ -305,7 +350,9 @@ def _applier_fn(has_mu: bool, num_features: int):
             site, code, v = sites[i], codes[i], valid[i]
             de = de_fn(occu, site, code, None)
             if has_mu:
-                dwork = mu[site, code] - mu[site, occu[site]]
+                cur = sel_row(occu, site)
+                mu_row = sel_row(mu, site)
+                dwork = sel_row(mu_row, code) - sel_row(mu_row, cur)
                 d = de - dwork
             else:
                 dwork = 0.0
@@ -316,7 +363,9 @@ def _applier_fn(has_mu: bool, num_features: int):
                 if has_mu:
                     df = jnp.concatenate([df, jnp.atleast_1d(dwork)])
                 dfeat = dfeat + jnp.where(v, df, 0.0)
-            occu = jnp.where(v, occu.at[site].set(code), occu)
+            occu = jnp.where(
+                v & (iota_n == site), code.astype(occu.dtype), occu
+            )
         return occu, dh, dfeat
 
     return apply
@@ -475,35 +524,37 @@ def _wl_step(propose_fn, apply_fn, params, state, key):
         bin_id = jnp.clip(bin_of(enthalpy), 0, num_levels - 1)
         new_bin = jnp.clip(bin_of(new_enthalpy), 0, num_levels - 1)
         in_window = (new_enthalpy >= min_enthalpy) & (new_enthalpy < max_enthalpy)
-        exponent = entropy[bin_id] - entropy[new_bin] + logp
+        exponent = sel_row(entropy, bin_id) - sel_row(entropy, new_bin) + logp
         accept = in_window & _accept_metropolis(k_acc, exponent)
 
         occu = jnp.where(accept, occu_new, occu)
         enthalpy = jnp.where(accept, new_enthalpy, enthalpy)
         features = jnp.where(accept, features + dfeat, features)
 
-        # post-step: histogram/entropy/mean-feature updates at current state
+        # post-step: histogram/entropy/mean-feature updates at current
+        # state.  One-hot masked updates: XLA TPU lowers dynamic
+        # gathers/scatters near-scalar under vmap, and full-array
+        # conditional copies would move the whole [L] / [L, F] per-bin
+        # state every step
         cur_bin = jnp.clip(bin_of(enthalpy), 0, num_levels - 1)
+        oh = jnp.arange(num_levels) == cur_bin  # [L]
         cur_valid = (enthalpy >= min_enthalpy) & (enthalpy < max_enthalpy)
         counter = counter + cur_valid.astype(jnp.int32)
-        # conditional updates mask the UPDATED ROW/VALUE, not the whole
-        # array: a full-array jnp.where would copy [L] / [L, F] state per
-        # step, which at thousands of walkers is ~100 MB of HBM traffic
-        # per MC step and dominates the whole chain
-        total = occurrences[cur_bin]
-        new_mean = (features + total * mean_features[cur_bin]) / (total + 1)
-        mean_features = mean_features.at[cur_bin].set(
-            jnp.where(cur_valid, new_mean, mean_features[cur_bin])
+        total = sel_row(occurrences, cur_bin)
+        cur_mean = jnp.sum(
+            jnp.where(oh[:, None], mean_features, 0.0), axis=0
+        )
+        new_mean = (features + total * cur_mean) / (total + 1)
+        mean_features = jnp.where(
+            (oh & cur_valid)[:, None], new_mean[None, :], mean_features
         )
         do_update = cur_valid & (
             jnp.mod(counter, params["update_period"]) == 0
         )
-        upd = do_update.astype(entropy.dtype)
-        entropy = entropy.at[cur_bin].add(upd * mod_factor)
-        histogram = histogram.at[cur_bin].add(do_update.astype(histogram.dtype))
-        occurrences = occurrences.at[cur_bin].add(
-            do_update.astype(occurrences.dtype)
-        )
+        upd = (oh & do_update).astype(entropy.dtype)
+        entropy = entropy + upd * mod_factor
+        histogram = histogram + (oh & do_update).astype(histogram.dtype)
+        occurrences = occurrences + (oh & do_update).astype(occurrences.dtype)
 
         # flatness check every check_period valid steps
         do_check = cur_valid & (jnp.mod(counter, params["check_period"]) == 0)

@@ -220,3 +220,103 @@ def test_tableflip_priori_factor_detailed_balance(neutral_system):
     assert abs(ratio - np.exp(log_factor)) < 5 * se + 1e-9, (
         ratio, np.exp(log_factor), se,
     )
+
+
+def _ewald_neutral_ensemble(scm=(2, 1, 1)):
+    from smol_tpu.cofe.extern import EwaldTerm
+
+    a = 4.2
+    lat = Lattice(np.array([[0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]) * a)
+    prim = Structure(
+        lat,
+        [{"Li+": 1 / 3, "Mn3+": 1 / 3}, {"O2-": 0.8, "F-": 0.2}],
+        [[0, 0, 0], [0.5, 0.5, 0.5]],
+    )
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 3.1})
+    cs.add_external_term(EwaldTerm())
+    rng = np.random.default_rng(1)
+    coefs = np.concatenate(
+        [rng.normal(scale=0.02, size=cs.num_corr_functions), [0.1]]
+    )
+    coefs[0] = -0.3
+    ce = ClusterExpansion(cs, coefs)
+    mus = {"Li+": 0.1, "Mn3+": -0.2, "vacA0+": 0.0, "O2-": 0.0, "F-": 0.05}
+    return Ensemble.from_cluster_expansion(
+        ce, np.diag(scm), chemical_potentials=mus
+    )
+
+
+def test_fast_tableflip_accumulated_parity(neutral_system):
+    """Fast-path accumulated enthalpy is exact (no Ewald term)."""
+    import jax
+
+    ens, neutral = neutral_system
+    nw = 8
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1500.0, step_type="table-flip", nwalkers=nw, seed=7
+    )
+    assert sampler.mckernel._get_fast_tables() is not None
+    assert sampler.mckernel._get_fast_tables()[1] == "tableflip"
+    rng = np.random.default_rng(0)
+    occu = np.stack([neutral[rng.integers(len(neutral))] for _ in range(nw)])
+    sampler.run(300, occu, thin_by=300)
+    state = sampler._state
+    occs = sampler.mckernel.state_occupancy(state)
+    feats = np.asarray(
+        jax.vmap(sampler.mckernel.full_features_fn())(occs)
+    )
+    exact = feats @ ens.natural_parameters
+    err = np.abs(np.asarray(state["enthalpy"]) - exact).max()
+    assert err < 1e-9, err
+    assert np.asarray(state["naccept"]).sum() > 0
+
+
+def test_fast_tableflip_ewald_parity():
+    """With Ewald: acceptance-grade accumulation, exact charge neutrality."""
+    import jax
+
+    ens = _ewald_neutral_ensemble()
+    nw = 8
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1500.0, step_type="table-flip", nwalkers=nw, seed=7
+    )
+    fast = sampler.mckernel._get_fast_tables()
+    assert fast is not None and fast[1] == "tableflip"
+    assert fast[3] is not None, "Ewald flip tables missing"
+    from smol_tpu.capp import generate_random_ordered_occupancy
+
+    rng = np.random.default_rng(0)
+    occu = np.stack([
+        generate_random_ordered_occupancy(
+            ens.processor, charge_neutral=True, rng=rng
+        )
+        for _ in range(nw)
+    ])
+    sampler.run(200, occu, thin_by=200)
+    state = sampler._state
+    occs = np.asarray(sampler.mckernel.state_occupancy(state))
+    feats = np.asarray(
+        jax.vmap(sampler.mckernel.full_features_fn())(jnp_arr(occs))
+    )
+    exact = feats @ ens.natural_parameters
+    scale = max(1.0, np.abs(exact).max())
+    err = np.abs(np.asarray(state["enthalpy"]) - exact).max() / scale
+    assert err < 1e-4, err  # f32 Ewald accumulation is acceptance-grade
+    # recorded traces are exact (recomputed at thin points)
+    rec = sampler.samples.get_enthalpies(flat=False)[-1]
+    rec_feats = sampler.samples.get_feature_vectors(flat=False)[-1]
+    assert np.abs(rec - rec_feats @ ens.natural_parameters).max() < 1e-9
+    # every walker stays exactly charge neutral
+    proc = ens.processor
+    for w in range(nw):
+        charge = sum(
+            (proc.allowed_species[i][occs[w, i]].oxi_state or 0)
+            for i in range(occs.shape[1])
+        )
+        assert charge == 0
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
