@@ -303,7 +303,8 @@ class TableFlip(MCUsher):
             any_flip = total > 0
             # categorical over directions
             cdf = jnp.cumsum(w) / jnp.where(total > 0, total, 1.0)
-            idx = jnp.searchsorted(cdf, jax.random.uniform(k_dir), side="right")
+            from smol_tpu.ops.mc import searchsorted_right as _ssr
+            idx = _ssr(cdf, jax.random.uniform(k_dir))
             idx = jnp.clip(idx, 0, dirs.shape[0] - 1)
             u_vec = jnp.sum(
                 jnp.where(

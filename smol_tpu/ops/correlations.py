@@ -64,10 +64,49 @@ def _pair_planes(packed):
     return corr_flat[idx]
 
 
+def _dense_local(packed):
+    """Dense per-site local-cluster tables for gather-free delta kernels.
+
+    Expands the indirect local_clusters / local_pairs index tables into
+    per-site dense arrays so a single one-hot select over the (traced)
+    flip site fetches every operand the delta kernels need.
+    """
+    import numpy as np
+
+    lc = np.asarray(packed.local_clusters)  # [N, L]
+    n, L = lc.shape
+    cs = np.asarray(packed.cluster_sites)  # [C, K]
+    st = np.asarray(packed.cluster_strides)
+    orb = np.asarray(packed.cluster_orbit)
+    ooff = np.asarray(packed.orbit_offset)
+    valid = lc >= 0
+    lcs = np.where(valid, lc, 0)
+    out = {
+        "loc_sites": cs[lcs] * valid[:, :, None],
+        "loc_strides": st[lcs] * valid[:, :, None],
+        "loc_orbit": np.where(valid, orb[lcs], 0),
+        "loc_offset": np.where(valid, ooff[orb[lcs]], 0),
+        "loc_valid": valid,
+    }
+    lp = np.asarray(packed.local_pairs)  # [N, LP]
+    pvalid = lp >= 0
+    lps = np.where(pvalid, lp, 0)
+    pc = np.asarray(packed.pair_cluster)[lps]
+    out.update(
+        lp_sites=cs[pc] * pvalid[:, :, None],
+        lp_strides=st[pc] * pvalid[:, :, None],
+        lp_offset=np.where(pvalid, np.asarray(packed.pair_offset)[lps], 0),
+        lp_fn=np.where(pvalid, np.asarray(packed.pair_fn)[lps], 0),
+        lp_valid=pvalid,
+    )
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
 def to_device(packed) -> DevicePacked:
     """Move a PackedSupercell's arrays to device as a pytree."""
     return DevicePacked(
         pair_planes=jnp.asarray(_pair_planes(packed)),
+        **_dense_local(packed),
         cluster_sites=jnp.asarray(packed.cluster_sites),
         cluster_strides=jnp.asarray(packed.cluster_strides),
         cluster_orbit=jnp.asarray(packed.cluster_orbit),
@@ -137,23 +176,51 @@ def interactions_from_occupancy(
     return out.at[0].set(offset)
 
 
-def _local_tensor_indices(occu, site, new_code, dp):
-    """Old/new tensor indices of the clusters containing ``site``.
+def _site_block(dp, site, keys):
+    """One-hot select each dense per-site table row for a traced site.
+
+    XLA TPU dynamic gathers lower near-scalar under vmap; a vectorized
+    compare-select over the (static) site axis does not.
+    """
+    n = dp.loc_valid.shape[0]
+    oh = jnp.arange(n) == site  # [N]
+    out = []
+    for k in keys:
+        tab = dp[k]
+        ohx = oh.reshape((n,) + (1,) * (tab.ndim - 1))
+        sel = jnp.sum(jnp.where(ohx, tab, jnp.zeros_like(tab)), axis=0)
+        out.append(sel.astype(tab.dtype))
+    return out
+
+
+def _value_select(flat, idx, mask):
+    """flat[idx] for a small value table, gather-free: [L] out."""
+    T = flat.shape[0]
+    oh = (idx[:, None] == jnp.arange(T)[None, :]) & mask[:, None]
+    return jnp.sum(jnp.where(oh, flat[None, :], 0.0), axis=1)
+
+
+def _local_delta_vals(occu, site, new_code, sites, strides, offset, valid,
+                      flat):
+    """Per-local-cluster value change of one flip, gather-free: [L] f64.
 
     Handles repeated site indices within one cluster (small supercells)
     by substituting the flipped code at every matching slot.
-    Returns (cluster ids [L], mask [L], tidx_old [L], tidx_new [L]).
     """
-    local = dp.local_clusters[site]  # [L]
-    mask = local >= 0
-    lc = jnp.where(mask, local, 0)
-    sites = dp.cluster_sites[lc]  # [L, K]
-    strides = dp.cluster_strides[lc]
-    occv = occu[sites]
+    n = occu.shape[0]
+    occv = jnp.sum(
+        jnp.where(
+            sites[:, :, None] == jnp.arange(n)[None, None, :],
+            occu[None, None, :], 0,
+        ),
+        axis=2,
+    )  # [L, K]
     tidx_old = jnp.sum(occv * strides, axis=-1)
     occv_new = jnp.where(sites == site, new_code, occv)
     tidx_new = jnp.sum(occv_new * strides, axis=-1)
-    return lc, mask, tidx_old, tidx_new
+    v_new = _value_select(flat, offset + tidx_new, valid)
+    v_old = _value_select(flat, offset + tidx_old, valid)
+    return v_new - v_old
 
 
 @jax.jit
@@ -165,11 +232,15 @@ def delta_energy_single_flip(occu, site, new_code, dp, inter_flat, orbit_weights
     coefs . delta(feature vector) exactly (the decomposition-processor
     energy, reference processor/expansion.py:420-464).
     """
-    lc, mask, tidx_old, tidx_new = _local_tensor_indices(occu, site, new_code, dp)
-    off = dp.orbit_offset[dp.cluster_orbit[lc]]
-    dvals = inter_flat[off + tidx_new] - inter_flat[off + tidx_old]
-    w = orbit_weights[dp.cluster_orbit[lc]]
-    return jnp.sum(jnp.where(mask, dvals * w, 0.0))
+    sites, strides, orbit, offset, valid = _site_block(
+        dp, site, ("loc_sites", "loc_strides", "loc_orbit", "loc_offset",
+                   "loc_valid"),
+    )
+    dvals = _local_delta_vals(
+        occu, site, new_code, sites, strides, offset, valid, inter_flat
+    )
+    w = _value_select(orbit_weights, orbit, valid)
+    return jnp.sum(jnp.where(valid, dvals * w, 0.0))
 
 
 @partial(jax.jit, static_argnames=("num_orbits",))
@@ -181,12 +252,16 @@ def delta_interactions_single_flip(
     Normalized per orbit by the total cluster count (the reference divides
     by cluster_ratio * local count = total count, evaluator.pyx:315).
     """
-    lc, mask, tidx_old, tidx_new = _local_tensor_indices(occu, site, new_code, dp)
-    off = dp.orbit_offset[dp.cluster_orbit[lc]]
-    dvals = inter_flat[off + tidx_new] - inter_flat[off + tidx_old]
-    dvals = jnp.where(mask, dvals, 0.0)
-    seg = jnp.where(mask, dp.cluster_orbit[lc], 0)
-    sums = jax.ops.segment_sum(dvals, seg, num_segments=num_orbits)
+    sites, strides, orbit, offset, valid = _site_block(
+        dp, site, ("loc_sites", "loc_strides", "loc_orbit", "loc_offset",
+                   "loc_valid"),
+    )
+    dvals = _local_delta_vals(
+        occu, site, new_code, sites, strides, offset, valid, inter_flat
+    )
+    dvals = jnp.where(valid, dvals, 0.0)
+    oh = (orbit[:, None] == jnp.arange(num_orbits)[None, :]) & valid[:, None]
+    sums = jnp.sum(jnp.where(oh, dvals[:, None], 0.0), axis=0)
     out = sums / dp.orbit_cluster_count
     return out.at[0].set(0.0)
 
@@ -198,20 +273,15 @@ def delta_corr_single_flip(occu, site, new_code, dp, num_corr: int):
     Uses the per-site (function, cluster) pair table
     (evaluator.pyx:211-265 semantics).
     """
-    lp = dp.local_pairs[site]  # [LP]
-    mask = lp >= 0
-    pid = jnp.where(mask, lp, 0)
-    cl = dp.pair_cluster[pid]
-    sites = dp.cluster_sites[cl]
-    strides = dp.cluster_strides[cl]
-    occv = occu[sites]
-    tidx_old = jnp.sum(occv * strides, axis=-1)
-    occv_new = jnp.where(sites == site, new_code, occv)
-    tidx_new = jnp.sum(occv_new * strides, axis=-1)
-    off = dp.pair_offset[pid]
-    dvals = dp.corr_flat[off + tidx_new] - dp.corr_flat[off + tidx_old]
-    dvals = jnp.where(mask, dvals, 0.0)
-    seg = jnp.where(mask, dp.pair_fn[pid], 0)
-    sums = jax.ops.segment_sum(dvals, seg, num_segments=num_corr)
+    sites, strides, offset, fn, valid = _site_block(
+        dp, site, ("lp_sites", "lp_strides", "lp_offset", "lp_fn",
+                   "lp_valid"),
+    )
+    dvals = _local_delta_vals(
+        occu, site, new_code, sites, strides, offset, valid, dp.corr_flat
+    )
+    dvals = jnp.where(valid, dvals, 0.0)
+    oh = (fn[:, None] == jnp.arange(num_corr)[None, :]) & valid[:, None]
+    sums = jnp.sum(jnp.where(oh, dvals[:, None], 0.0), axis=0)
     out = sums / dp.fn_cluster_count
     return out.at[0].set(0.0)

@@ -554,7 +554,9 @@ def _fast_flip_step(t, state, key):
         W = words.shape[0]
         k_sl, k_site, k_code, k_acc = jax.random.split(key, 4)
         u_sl = jax.random.uniform(k_sl, (W,))
-        sl = jnp.searchsorted(t.cum_probs, u_sl, side="right").astype(jnp.int32)
+        from smol_tpu.ops.mc import searchsorted_right
+
+        sl = searchsorted_right(t.cum_probs, u_sl).astype(jnp.int32)
         sl_oh = sl[:, None] == iota_s[None, :]  # [W, S]
         n_act = jnp.sum(jnp.where(sl_oh, t.n_active[None, :], 0), axis=1)
         ai = jax.random.randint(k_site, (W,), 0, n_act)
@@ -609,7 +611,9 @@ def _fast_swap_step(t, state, key):
         W = words.shape[0]
         k_sl, k_site, k_pick, k_acc = jax.random.split(key, 4)
         u_sl = jax.random.uniform(k_sl, (W,))
-        sl = jnp.searchsorted(t.cum_probs, u_sl, side="right").astype(jnp.int32)
+        from smol_tpu.ops.mc import searchsorted_right
+
+        sl = searchsorted_right(t.cum_probs, u_sl).astype(jnp.int32)
         sl_oh = sl[:, None] == iota_s[None, :]  # [W, S]
         n_act = jnp.sum(jnp.where(sl_oh, t.n_active[None, :], 0), axis=1)
         row = jnp.sum(

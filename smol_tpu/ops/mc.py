@@ -105,9 +105,21 @@ def sublattice_tables(sublattices, sublattice_probabilities=None) -> SublatticeT
     )
 
 
+def searchsorted_right(cum, u):
+    """``searchsorted(cum, u, side="right")`` as a compare-sum.
+
+    XLA lowers searchsorted to a near-scalar while loop on TPU (~33 ms for
+    2048 elements, measured); a vectorized compare-sum over the (small)
+    sorted table does not.
+    """
+    return jnp.sum(
+        (cum <= jnp.asarray(u)[..., None]).astype(jnp.int32), axis=-1
+    )
+
+
 def _choose_sublattice(key, tables: SublatticeTables):
     u = jax.random.uniform(key)
-    return jnp.searchsorted(tables.cum_probs, u, side="right").astype(jnp.int32)
+    return searchsorted_right(tables.cum_probs, u).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -220,9 +232,7 @@ def _multistep_fn(max_len: int, base_width: int):
     def propose(base_propose, lengths_arr, cum_probs, key, occu):
         k_len, key = jax.random.split(key)
         u = jax.random.uniform(k_len)
-        length = sel_row(
-            lengths_arr, jnp.searchsorted(cum_probs, u, side="right")
-        )
+        length = sel_row(lengths_arr, searchsorted_right(cum_probs, u))
         sites = jnp.zeros(total, dtype=jnp.int32)
         codes = jnp.zeros(total, dtype=jnp.int32)
         valid = jnp.zeros(total, dtype=bool)
@@ -286,7 +296,7 @@ def _composite_fn(widths: tuple):
     def propose(proposals, cum, key, occu):
         k_pick, k_prop = jax.random.split(key)
         u = jax.random.uniform(k_pick)
-        which = jnp.searchsorted(cum, u, side="right")
+        which = searchsorted_right(cum, u)
         branches = []
         for p, w in zip(proposals, widths):
             def branch(key_occu, p=p, w=w):

@@ -438,7 +438,7 @@ def rank_sequence(tables: ChainTables, key, shape):
     S = len(tables.cum_probs)
     cum = jnp.asarray(tables.cum_probs)
     u = jax.random.uniform(k_sl, shape)
-    sl = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
+    sl = jnp.sum((cum[None, ...] <= u[..., None]).astype(jnp.int32), axis=-1).astype(jnp.int32)
     sl = jnp.minimum(sl, S - 1)
     n_act = jnp.asarray(tables.n_active, dtype=jnp.int32)[sl]
     off = jnp.asarray(tables.sub_offset, dtype=jnp.int32)[sl]
@@ -462,7 +462,7 @@ def rank_pair_sequence(tables: ChainTables, key, shape):
     cum = jnp.asarray(tables.cum_probs)
     r = jax.random.uniform(k_sl, shape)
     sl = jnp.minimum(
-        jnp.searchsorted(cum, r, side="right").astype(jnp.int32), S - 1
+        jnp.sum((cum[None, ...] <= r[..., None]).astype(jnp.int32), axis=-1).astype(jnp.int32), S - 1
     )
     n_act = jnp.asarray(tables.n_active, dtype=jnp.int32)[sl]
     off = jnp.asarray(tables.sub_offset, dtype=jnp.int32)[sl]
