@@ -24,10 +24,15 @@ Usage: python bench.py [--config C] [--smoke] [--walkers W] [--steps S]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: repeat bench runs skip the (minutes-scale
+# on the tunneled backend) kernel compilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/smol_tpu_xla_cache")
 
 
 def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
@@ -181,10 +186,12 @@ def main():
             prim, cutoffs={2: 5.0, 3: 3.5},
             supercell_size=4 if args.smoke else 8,
         )
+        # per-step XLA path (multicell distance annealing): sized so one
+        # generate() stays minutes-scale
         n_shapes = len(generator.processors)
-        sqs_walkers = args.walkers or (16 if args.smoke else 512)
-        sqs_steps = args.steps or (100 if args.smoke else 3000)
-        temps = np.linspace(5.0, 0.02, 3 if args.smoke else 6)
+        sqs_walkers = args.walkers or (16 if args.smoke else 256)
+        sqs_steps = args.steps or (100 if args.smoke else 1000)
+        temps = np.linspace(5.0, 0.02, 3 if args.smoke else 4)
         attempts = n_shapes * len(temps) * sqs_steps * sqs_walkers
 
         t0 = time.perf_counter()  # warmup incl. compile
