@@ -24,15 +24,10 @@ Usage: python bench.py [--config C] [--smoke] [--walkers W] [--steps S]
 
 import argparse
 import json
-import os
 import sys
 import time
 
 import numpy as np
-
-# persistent XLA compile cache: repeat bench runs skip the (minutes-scale
-# on the tunneled backend) kernel compilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/smol_tpu_xla_cache")
 
 
 def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
