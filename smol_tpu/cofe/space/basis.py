@@ -130,11 +130,23 @@ class StandardBasis(MSONable):
     def orthonormalize(self):
         """Measure-weighted QR orthonormalization keeping row 0 constant.
 
-        Mirrors reference basis.py:234-258.
+        Mirrors reference basis.py:234-258.  Column signs are fixed so the
+        diagonal of R is positive — QR then coincides with classical
+        Gram-Schmidt, which PRESERVES each function's direction (an
+        already-orthonormal basis passes through unchanged).  The sign
+        convention is observable: the reference's sinusoid point
+        functions keep their -cos leading sign after orthonormalization
+        (validated against reference-generated golden correlation
+        vectors in tests/test_integration/test_golden_parity.py).
         """
         q_mat, r_mat = np.linalg.qr(
             (np.sqrt(self.measure_vector) * self._f_array).T, mode="complete"
         )
+        k = min(q_mat.shape[1], r_mat.shape[0])
+        signs = np.sign(np.diag(r_mat)[:k])
+        signs[signs == 0] = 1.0
+        q_mat[:, :k] *= signs
+        r_mat[:k] *= signs[:, None]
         r_mat[np.abs(r_mat) < EPS] = 0.0
         q_mat[np.abs(q_mat) < EPS] = 0.0
         self._r_array = (q_mat[:, 0] / np.sqrt(self.measure_vector) * r_mat.T).astype(

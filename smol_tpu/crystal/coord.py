@@ -107,10 +107,15 @@ def lattice_points_in_supercell(supercell_matrix) -> np.ndarray:
     inside = np.all((frac >= -tol) & (frac < 1 - tol), axis=1)
     pts = frac[inside]
     pts = np.mod(pts, 1.0)
+    pts[pts > 1 - tol] = 0.0
     if len(pts) != n:
         raise RuntimeError(
             f"Found {len(pts)} lattice points, expected {n}: numerical issue."
         )
-    # stable lexicographic order for reproducibility
-    order = np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))
-    return pts[order]
+    # ORDER CONTRACT: keep the prim-integer-grid enumeration order
+    # (lexicographic in the prim integer coordinates), matching pymatgen's
+    # lattice_points_in_supercell — supercell site ordering is observable
+    # through occupancy encodings and the reference's stored site mappings
+    # (validated against reference-generated golden correlation vectors in
+    # tests/test_integration/test_golden_parity.py).
+    return pts

@@ -98,9 +98,20 @@ class SmolJSONEncoder(json.JSONEncoder):
 
 
 def process_decoded(obj):
-    """Recursively resolve ``@module``/``@class`` tagged dicts to objects."""
+    """Recursively resolve ``@module``/``@class`` tagged dicts to objects.
+
+    Documents tagged with pymatgen/numpy modules (as written by the
+    reference through monty) are translated to the native crystal types
+    via :mod:`smol_tpu.crystal.pmg_compat`.
+    """
     if isinstance(obj, dict):
         if "@class" in obj and "@module" in obj:
+            from smol_tpu.crystal import pmg_compat
+
+            if pmg_compat.is_pmg_dict(obj):
+                decoded = pmg_compat.decode_pmg(obj)
+                if decoded is not None:
+                    return decoded
             mod = importlib.import_module(obj["@module"])
             cls = getattr(mod, obj["@class"])
             return cls.from_dict(obj)
