@@ -57,6 +57,64 @@ def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
     return float(np.median(rates))
 
 
+ALL_CONFIGS = (
+    "canonical", "sgc", "spinel", "spinel-ewald", "tempering",
+    "wang-landau", "sqs",
+)
+
+
+def _run_all(args):
+    """Run every benchmark config in its own subprocess, one at a time.
+
+    Each config gets a fresh process (TPU state does not accumulate, and
+    a worker crash in one config cannot poison the rest); results land in
+    BENCH_configs.json next to this script.
+    """
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for cfg in ALL_CONFIGS:
+        cmd = [sys.executable, os.path.abspath(__file__), "--config", cfg]
+        if args.smoke:
+            cmd.append("--smoke")
+        print(f"bench --all: running {cfg} ...", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600
+            )
+            sys.stderr.write(proc.stderr)
+            line = next(
+                (
+                    ln
+                    for ln in reversed(proc.stdout.splitlines())
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            if proc.returncode == 0 and line:
+                rec = json.loads(line)
+            else:
+                rec = {
+                    "metric": cfg,
+                    "error": f"rc={proc.returncode}",
+                    "stdout_tail": proc.stdout[-300:],
+                }
+        except subprocess.TimeoutExpired:
+            rec = {"metric": cfg, "error": "timeout"}
+        rec["config"] = cfg
+        results.append(rec)
+        print(json.dumps(rec))
+    with open(os.path.join(here, "BENCH_configs.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(
+        f"bench --all: wrote {len(results)} results to BENCH_configs.json",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -70,7 +128,17 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="small, CPU-friendly run")
     parser.add_argument("--walkers", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument(
+        "--all",
+        action="store_true",
+        help="run every config sequentially (one subprocess at a time; "
+        "concurrent TPU processes corrupt measurements) and record one "
+        "JSON object per config in BENCH_configs.json",
+    )
     args = parser.parse_args()
+
+    if args.all:
+        return _run_all(args)
 
     import smol_tpu  # noqa: F401  (enables x64)
     from smol_tpu.benchmarks.systems import (
@@ -115,30 +183,51 @@ def main():
         )
         metric = "metropolis_flip_attempts_per_sec_per_chip_ternary_sgc"
     elif cfg in ("spinel", "spinel-ewald"):
+        # spinel: BASELINE north-star config class (single-flip SGC).
+        # spinel-ewald: BASELINE config 3 — charge-neutral SGC with Ewald
+        # electrostatics, run with the ACTUAL TableFlip move type
+        # (reference smol/moca/kernel/mcusher.py:397-711) through the
+        # persistent-chain kernel's exogenous symmetric table proposal.
+        ewald = cfg == "spinel-ewald"
         ce = random_expansion(
-            spinel_prim(), {2: 5.3, 3: 3.7}, seed=11,
-            ewald=(cfg == "spinel-ewald"),
+            spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=ewald,
         )
         scm = np.diag([2, 2, 2])  # 112 sites, 48 active
         ensemble = Ensemble.from_cluster_expansion(
             ce, scm,
             chemical_potentials={
-                "Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0
+                "Li+": 0.1, "vacA0+": 0.0, "Mn3+": 0.05, "Mn4+": 0.0
             },
         )
         n_codes = np.array(
             [len(sp) for sp in ensemble.processor.allowed_species]
         )
-        occu = (
-            rng.random((nwalkers, ensemble.num_sites)) * n_codes
-        ).astype(np.int32)
-        sampler = Sampler.from_ensemble(
-            ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
-        )
+        if ewald:
+            # start on the charge-neutral manifold (all walkers share one
+            # neutral arrangement; the chain decorrelates them immediately)
+            from smol_tpu.capp.generate.random import (
+                generate_random_ordered_occupancy,
+            )
+
+            occ0 = generate_random_ordered_occupancy(
+                ensemble.processor, charge_neutral=True, rng=rng
+            )
+            occu = np.tile(occ0, (nwalkers, 1)).astype(np.int32)
+            sampler = Sampler.from_ensemble(
+                ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3,
+                step_type="table-flip",
+            )
+        else:
+            occu = (
+                rng.random((nwalkers, ensemble.num_sites)) * n_codes
+            ).astype(np.int32)
+            sampler = Sampler.from_ensemble(
+                ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
+            )
         metric = (
             "metropolis_flip_attempts_per_sec_per_chip_spinel112"
             if cfg == "spinel"
-            else "metropolis_flip_attempts_per_sec_per_chip_spinel112_ewald"
+            else "tableflip_attempts_per_sec_per_chip_spinel112_ewald"
         )
     elif cfg == "wang-landau":
         # BASELINE config 4a: flat-histogram DOS sampling, windowed walkers

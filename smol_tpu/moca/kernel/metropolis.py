@@ -169,14 +169,21 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         return self._chain_tables_cache
 
     def _build_chain_tables(self):
-        """Shared-proposal chain tables for Flip/Swap Metropolis.
+        """Shared-proposal chain tables for Flip/Swap/TableFlip Metropolis.
 
-        Applies for plain Flip (semigrand) and Swap (canonical) ushers
-        with no bias/priori factor and no tracked features; see
+        Applies for plain Flip (semigrand), Swap (canonical), and
+        TableFlip (constrained-composition semigrand, e.g. charge-neutral
+        SGC) ushers with no bias and no tracked features; see
         smol_tpu.ops.pallas_chain for the full applicability constraints
-        (incl. composite CE + Ewald support).  Returns (tables, move).
+        (incl. composite CE + Ewald support).  The TableFlip chain uses
+        an exogenous SYMMETRIC proposal (pallas_chain.TableMove) that
+        samples the same stationary distribution as the reference usher
+        through a different proposal process — its a-priori factor is
+        identically zero, so no gammaln evaluation runs on device.
+        Returns (tables, move, table_move | None).
         """
         from smol_tpu.moca.kernel.mcusher import Flip, Swap
+        from smol_tpu.moca.kernel.tableflip import TableFlip
         from smol_tpu.ops import pallas_chain
 
         if not self.shared_proposals:
@@ -184,6 +191,8 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         if self.track_features or self._bias is not None:
             return None
         if type(self.mcusher) not in (Flip, Swap):
+            if type(self.mcusher) is TableFlip:
+                return self._build_tableflip_chain()
             return None
         if self.mcusher.device_log_priori() is not None:
             return None
@@ -201,7 +210,27 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         )
         if tables is None:
             return None
-        return tables, move
+        return tables, move, None
+
+    def _build_tableflip_chain(self):
+        from smol_tpu.ops import pallas_chain
+
+        tables = pallas_chain.build_chain_tables(
+            self._ensemble.processor,
+            self._ensemble.sublattices,
+            mu_table=self._ensemble.chemical_potential_table,
+            # the embedded swap moves follow the swapper's sublattice
+            # probabilities; flip directions carry their own sublattices
+            sublattice_probabilities=(
+                self.mcusher._swapper.sublattice_probabilities
+            ),
+        )
+        if tables is None:
+            return None
+        table_move = pallas_chain.build_table_move(tables, self.mcusher)
+        if table_move is None:
+            return None
+        return tables, "table", table_move
 
     def make_chain_fn(self, n_steps: int):
         from smol_tpu.ops import pallas_chain
@@ -211,13 +240,14 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         built = self._get_chain_tables()
         if built is None:
             return None
-        tables, move = built
+        tables, move, table_move = built
         inner = pallas_chain.make_shared_proposal_chain(
             tables,
             n_steps,
             block_size=self.chain_block_size,
             interpret=pallas_chain.interpret_mode(),
             move=move,
+            table_move=table_move,
         )
         if self._get_fast_tables() is None:
             return inner

@@ -63,8 +63,13 @@ from smol_tpu.ops.pallas_mc import _df_add, _pos_bits, _uniform01
 
 __all__ = [
     "ChainTables",
+    "TableMove",
+    "WLChain",
     "build_chain_tables",
+    "build_table_move",
     "make_shared_proposal_chain",
+    "make_site_delta",
+    "table_sequences",
     "runtime_supported",
     "interpret_mode",
 ]
@@ -177,6 +182,65 @@ def _split_f64(x):
         np.float32
     )
     return hi, lo
+
+
+def make_site_delta(segments, TM, wb):
+    """Build the per-site df energy-delta evaluator used by chain kernels.
+
+    Returns ``site_delta(gm_x, gcat_x, occ_bf, a, b) -> (dh, dl)``: the
+    double-float energy delta of recoloring one site from code ``a`` to
+    code ``b`` ([1, wb] each), given that site's gather row ``gm_x``
+    [L, RP] bf16 and coefficient table ``gcat_x`` [L, >=2*TM+1] f32.  The
+    gather matmul runs in single-pass bf16 (strides and codes are small
+    integers, exact in bf16; the MXU accumulates f32); the g-plane select
+    loops only over each L segment's tensor extent.
+    """
+
+    def site_delta(gm_x, gcat_x, occ_bf, a, b):
+        t_part = jax.lax.dot(
+            gm_x, occ_bf, preferred_element_type=jnp.float32
+        )  # [L, wb] f32, exact
+        dh_t = jnp.zeros((1, wb), jnp.float32)
+        dl_t = dh_t
+        for (l0, l1, ext_s) in segments:
+            ls = l1 - l0
+            d2_s = jax.lax.broadcast_in_dim(
+                gcat_x[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
+            )
+            t_old = t_part[l0:l1] + a * d2_s
+            t_new = t_part[l0:l1] + b * d2_s
+            zero = jnp.zeros((ls, wb), jnp.float32)
+            hn = zero
+            ho = zero
+            ln_ = zero
+            lo_ = zero
+            for tt in range(ext_s):
+                ttf = jnp.float32(tt)
+                ghc = jax.lax.broadcast_in_dim(
+                    gcat_x[l0:l1, tt: tt + 1], (ls, wb), (0, 1)
+                )
+                glc = jax.lax.broadcast_in_dim(
+                    gcat_x[l0:l1, TM + tt: TM + tt + 1], (ls, wb), (0, 1)
+                )
+                mn = t_new == ttf
+                mo = t_old == ttf
+                hn = jnp.where(mn, ghc, hn)
+                ho = jnp.where(mo, ghc, ho)
+                ln_ = jnp.where(mn, glc, ln_)
+                lo_ = jnp.where(mo, glc, lo_)
+            dh, dl = _df_add(hn, ln_, -ho, -lo_)
+            width = ls  # power-of-two segment tree reduction
+            while width > 1:
+                half = width // 2
+                dh, dl = _df_add(
+                    dh[:half, :], dl[:half, :],
+                    dh[half:width, :], dl[half:width, :],
+                )
+                width = half
+            dh_t, dl_t = _df_add(dh_t, dl_t, dh, dl)
+        return dh_t, dl_t  # [1, wb]
+
+    return site_delta
 
 
 def build_chain_tables(processor, sublattices, mu_table=None,
@@ -471,6 +535,254 @@ def rank_pair_sequence(tables: ChainTables, key, shape):
     return u, v
 
 
+@dataclass(frozen=True)
+class TableMove:
+    """Static description of chain-kernel table-flip (composition) moves.
+
+    Row layout of the per-direction tables: rows ``0..n_dirs-1`` are the
+    flip directions (``2*F``: each flip vector and its negation), row
+    ``n_dirs`` is the canonical-swap move, row ``n_dirs + 1`` is the null
+    move (used when a drawn proposal collides with itself).  Each
+    direction expands into at most ``k_max`` site-recoloring slots.
+
+    Sentinels: ``from_code == -1`` means no from-species check (inactive
+    slot or swap), ``to_code == -2`` means "take the partner slot's
+    current code" (swap), ``slot_sub == -1`` means "the sublattice drawn
+    from the sublattice probabilities" (swap).
+
+    STATISTICAL CONTRACT (differs from the reference TableFlip —
+    smol/moca/kernel/mcusher.py:397-711 — but samples the SAME stationary
+    distribution): each step draws a direction (flip directions
+    uniformly — or by direction-symmetric weights — with probability
+    ``1 - swap_weight``; a canonical swap otherwise) and one uniform
+    site per slot from that slot's sublattice, all EXOGENOUSLY
+    (state-independently).  A proposal is an identity (null, counted as
+    a rejected attempt) unless every slot's site currently holds the
+    direction's from-species and all slot sites are distinct.  Because
+    the slot sites are uniform over fixed sublattices and every
+    direction's negation is in the table with the same weight, the
+    forward and reverse proposal probabilities of any realized move are
+    EQUAL — the proposal is symmetric, so plain Metropolis acceptance is
+    exact and the reference's gammaln a-priori factor
+    (mcusher.py:656-711) is identically zero for this scheme.  The price
+    is a higher null-proposal rate (species-mismatch rejections replace
+    the reference's state-conditioned site draws).
+    """
+
+    n_dirs: int  # 2F flip directions (rows beyond are swap + null)
+    k_max: int
+    swap_weight: float
+    from_code: np.ndarray  # [n_dirs + 2, k_max] int32 (host)
+    to_code: np.ndarray  # [n_dirs + 2, k_max] int32 (host)
+    slot_valid: np.ndarray  # [n_dirs + 2, k_max] int32 (host)
+    slot_sub: np.ndarray  # [n_dirs + 2, k_max] int32 (host)
+    dir_cum_probs: np.ndarray  # [n_dirs] f64 cumulative weights (host)
+
+
+MAX_TABLE_SLOTS = 8
+
+
+def build_table_move(tables: ChainTables, usher) -> TableMove | None:
+    """Expand a TableFlip usher's flip table into chain-kernel TableMove.
+
+    Returns None when the kernel cannot honor the usher exactly:
+    direction-ASYMMETRIC flip weights (weight(+v) != weight(-v) breaks
+    proposal symmetry), flip vectors touching inactive sublattices, flip
+    vectors that change a sublattice's site count, or directions needing
+    more than MAX_TABLE_SLOTS site recolorings.
+    """
+    flip_table = np.asarray(usher.flip_table, dtype=np.int64)  # [F, D]
+    if flip_table.size == 0:
+        return None
+    weights = np.asarray(usher.flip_weights, dtype=np.float64)  # [2F]
+    fw = weights.reshape(-1, 2)
+    if not np.allclose(fw[:, 0], fw[:, 1]):
+        return None  # asymmetric weights: proposal would not be symmetric
+    if weights.sum() <= 0:
+        return None
+
+    # map each dim -> (active-sublattice index, species code); the active
+    # sublattice order must match build_chain_tables' rank layout
+    active_index = {}
+    ai = 0
+    for si, sl in enumerate(usher.sublattices):
+        if sl.is_active:
+            active_index[si] = ai
+            ai += 1
+    dim_sub = -np.ones(usher.d, dtype=np.int64)
+    dim_code = np.zeros(usher.d, dtype=np.int64)
+    for si, (sl, dim_ids) in enumerate(zip(usher.sublattices, usher.dim_ids)):
+        for j, d in enumerate(dim_ids):
+            dim_sub[d] = active_index.get(si, -1)
+            dim_code[d] = j  # encoding is arange (checked by chain tables)
+
+    dirs = np.concatenate([(u, -u) for u in flip_table], axis=0)  # [2F, D]
+    n_dirs = len(dirs)
+    slots = []  # per direction: list of (sub, from_code, to_code)
+    for u in dirs:
+        if np.any((u != 0) & (dim_sub < 0)):
+            return None  # flips an inactive sublattice
+        dir_slots = []
+        for s in range(len(usher.sublattices)):
+            asub = active_index.get(s, None)
+            if asub is None:
+                continue
+            rem, add = [], []
+            for d in np.nonzero(u)[0]:
+                if dim_sub[d] != asub:
+                    continue
+                if u[d] < 0:
+                    rem.extend([int(dim_code[d])] * int(-u[d]))
+                else:
+                    add.extend([int(dim_code[d])] * int(u[d]))
+            if len(rem) != len(add):
+                return None  # changes the sublattice's site count
+            dir_slots.extend(
+                (asub, fc, tc) for fc, tc in zip(rem, add)
+            )
+        if not dir_slots:
+            return None
+        slots.append(dir_slots)
+
+    k_max = max(2, max(len(s) for s in slots))
+    if k_max > MAX_TABLE_SLOTS:
+        return None
+
+    nd = n_dirs + 2  # + swap row + null row
+    from_code = -np.ones((nd, k_max), dtype=np.int32)
+    to_code = -np.ones((nd, k_max), dtype=np.int32)
+    slot_valid = np.zeros((nd, k_max), dtype=np.int32)
+    slot_sub = np.zeros((nd, k_max), dtype=np.int32)
+    for di, dir_slots in enumerate(slots):
+        for j, (sub, fc, tc) in enumerate(dir_slots):
+            from_code[di, j] = fc
+            to_code[di, j] = tc
+            slot_valid[di, j] = 1
+            slot_sub[di, j] = sub
+    # swap row: slots 0, 1 exchange current codes within one sublattice
+    from_code[n_dirs, :2] = -1
+    to_code[n_dirs, :2] = -2
+    slot_valid[n_dirs, :2] = 1
+    slot_sub[n_dirs, :2] = -1
+
+    return TableMove(
+        n_dirs=n_dirs,
+        k_max=k_max,
+        swap_weight=float(usher.swap_weight),
+        from_code=from_code,
+        to_code=to_code,
+        slot_valid=slot_valid,
+        slot_sub=slot_sub,
+        dir_cum_probs=np.cumsum(weights / weights.sum()),
+    )
+
+
+def table_sequences(tables: ChainTables, tm: TableMove, key, shape):
+    """Draw exogenous (direction, slot-site) sequences for table moves.
+
+    Returns ``(dirs, ranks)`` with shapes ``shape`` and ``shape + (k_max,)``.
+    Directions follow the (direction-symmetric) flip weights with
+    probability ``1 - swap_weight`` and are the swap row otherwise; each
+    slot's site is uniform over its sublattice's active ranks.  Proposals
+    whose valid slots collide (same rank twice — including swap u == v)
+    are redirected to the null row.  All table lookups are one-hot
+    compare-sums (XLA TPU lowers dynamic gathers near-scalar).
+    """
+    k_mode, k_dir, k_sub, k_site = jax.random.split(key, 4)
+    nd_tot = tm.n_dirs + 2
+    K = tm.k_max
+
+    dcum = jnp.asarray(tm.dir_cum_probs)
+    ud = jax.random.uniform(k_dir, shape)
+    dirs = jnp.minimum(
+        jnp.sum((dcum <= ud[..., None]).astype(jnp.int32), axis=-1),
+        tm.n_dirs - 1,
+    )
+    if tm.swap_weight > 0:
+        is_swap = jax.random.uniform(k_mode, shape) < tm.swap_weight
+        dirs = jnp.where(is_swap, tm.n_dirs, dirs)
+
+    # swap sublattice from the sublattice probabilities
+    cum = jnp.asarray(tables.cum_probs)
+    us = jax.random.uniform(k_sub, shape)
+    swap_sub = jnp.minimum(
+        jnp.sum((cum <= us[..., None]).astype(jnp.int32), axis=-1),
+        len(tables.cum_probs) - 1,
+    )
+
+    # per-step slot tables (one-hot over the small direction axis)
+    oh = (
+        dirs[..., None] == jnp.arange(nd_tot, dtype=dirs.dtype)
+    ).astype(jnp.int32)  # [*shape, nd_tot]
+    sub_t = jnp.asarray(tm.slot_sub)  # [nd_tot, K]
+    sv_t = jnp.asarray(tm.slot_valid)
+    sub_j = jnp.einsum("...d,dk->...k", oh, sub_t)
+    sv_j = jnp.einsum("...d,dk->...k", oh, sv_t)
+    sub_j = jnp.where(sub_j < 0, swap_sub[..., None], sub_j)
+
+    S = len(tables.cum_probs)
+    oh_s = (
+        sub_j[..., None] == jnp.arange(S, dtype=sub_j.dtype)
+    ).astype(jnp.int32)  # [*shape, K, S]
+    n_act = jnp.einsum(
+        "...s,s->...", oh_s, jnp.asarray(tables.n_active, dtype=jnp.int32)
+    )
+    off = jnp.einsum(
+        "...s,s->...", oh_s, jnp.asarray(tables.sub_offset, dtype=jnp.int32)
+    )
+    ranks = off + jax.random.randint(
+        k_site, shape + (K,), 0, jnp.maximum(n_act, 1)
+    )
+
+    # collision -> null row (slot_valid all zero there)
+    collide = jnp.zeros(shape, dtype=bool)
+    for j in range(K):
+        for k in range(j + 1, K):
+            collide = collide | (
+                (sv_j[..., j] > 0)
+                & (sv_j[..., k] > 0)
+                & (ranks[..., j] == ranks[..., k])
+            )
+    dirs = jnp.where(collide, tm.n_dirs + 1, dirs)
+    return dirs.astype(jnp.int32), ranks.astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class WLChain:
+    """Static parameters of chain-kernel Wang-Landau sampling.
+
+    Replaces the thermal Metropolis acceptance with the entropy-difference
+    rule S(bin_old) - S(bin_new) and adds the per-walker histogram /
+    entropy / modification-factor bookkeeping of the reference kernel
+    (smol/moca/kernel/wanglandau.py:186-266) INSIDE the chain kernel:
+    entropy lives in VMEM as a double-float [bins, walkers] pair (so late
+    -stage modification factors ~1e-8 still register against entropies of
+    order 1e2), histograms/occurrences as int32 planes, and every bin
+    lookup/update is an iota compare-select along the sublane axis.
+
+    Semantics mirror the per-step XLA path (ops.mc._wl_step, itself
+    parity-tested against exact degeneracies): enthalpies outside
+    [min, min + num_levels * bin_size) are rejected; after every step the
+    current bin's entropy += mod_factor and histogram/occurrences += 1
+    (every ``update_period``-th valid step); flatness is checked every
+    ``check_period``-th valid step per walker, and a flat histogram
+    resets to zero and divides the modification factor by
+    ``mod_divisor``.  Per-bin CUMULATIVE MEAN FEATURES are the one piece
+    of reference bookkeeping NOT tracked per step (a [bins, features]
+    plane per walker would not fit VMEM): the WangLandau kernel updates
+    them once per thinning window from exact boundary features instead —
+    the same estimator on the thinned subchain.
+    """
+
+    min_enthalpy: float
+    bin_size: float
+    num_levels: int
+    flatness: float
+    check_period: int
+    update_period: int
+    mod_divisor: float
+
+
 def make_shared_proposal_chain(
     tables: ChainTables,
     n_steps: int,
@@ -479,6 +791,8 @@ def make_shared_proposal_chain(
     chunk_steps: int | None = None,
     streamed: bool | None = None,
     move: str = "flip",
+    table_move: TableMove | None = None,
+    wl: WLChain | None = None,
 ):
     """Build ``fn(state, key) -> state`` running n_steps shared-site moves.
 
@@ -487,11 +801,24 @@ def make_shared_proposal_chain(
     ``accepted`` [W] bool.  W must be a multiple of ``block_size`` (or
     equal to it).  See the module docstring for the statistical contract.
 
-    ``move`` selects the proposal: ``"flip"`` (single-site semigrand) or
+    ``move`` selects the proposal: ``"flip"`` (single-site semigrand),
     ``"swap"`` (two-site canonical exchange; walkers in a block share the
     (u, v) pair sequence, equal-species pairs are identity proposals
     counted as rejected, and the joint delta is computed exactly as
-    dE(u) + dE(v | u applied)).
+    dE(u) + dE(v | u applied)), or ``"table"`` (constrained composition
+    moves from a ``TableMove`` — pass ``table_move``; each step recolors
+    up to ``k_max`` slot sites sequentially, mirroring the reference's
+    multi-site step application order, smol/moca/processor/expansion.py:
+    215-230; see the TableMove docstring for the exact-but-different
+    symmetric proposal contract).
+
+    ``wl`` switches the acceptance rule and bookkeeping to Wang-Landau
+    flat-histogram sampling (flip/swap moves only): per-walker entropy
+    (df pair), histogram, occurrences, modification factor and valid-step
+    counter live in VMEM and update every step; the state dict must carry
+    ``entropy`` [W, B] f64, ``histogram``/``occurrences`` [W, B] int32,
+    ``mod_factor`` [W] f64 and ``wl_counter`` [W] int32 (see
+    :class:`WLChain` for the exact semantics).  ``beta`` is ignored.
 
     ``streamed`` keeps the big per-rank tables (gm, gcat) in HBM and
     double-buffers each step's rows into VMEM scratch with async DMA —
@@ -500,10 +827,23 @@ def make_shared_proposal_chain(
     the table-size ceiling on supercell size (cost: one ~row-sized DMA
     per step, fully overlapped with compute).
     """
-    if move not in ("flip", "swap"):
+    if move not in ("flip", "swap", "table"):
         raise ValueError(f"unknown move type: {move!r}")
     swap = move == "swap"
-    n_roles = 2 if swap else 1
+    table = move == "table"
+    if table and table_move is None:
+        raise ValueError('move="table" requires table_move')
+    if wl is not None and table:
+        raise ValueError("the Wang-Landau chain supports flip/swap moves only")
+    is_wl = wl is not None
+    if is_wl:
+        NB = wl.num_levels
+        BP = max(8, -(-NB // 8) * 8)  # sublane-padded bin axis
+        wl_minh, wl_minl = _split_f64(wl.min_enthalpy)
+        wl_bs = np.float32(wl.bin_size)
+        wl_span = np.float32(NB * wl.bin_size)
+    KM = table_move.k_max if table else 0
+    n_roles = KM if table else (2 if swap else 1)
     t = tables
     R, RP, L, TM = t.num_ranks, t.rpad, t.n_local, t.tensor_max
     C = t.mu_cols
@@ -528,11 +868,19 @@ def make_shared_proposal_chain(
         ewv_pad_cols = RP_new - RP
         RP = RP_new
 
-    def kernel(seed_ref, nvalid_ref, seq_ref, vseq_ref, ncod_ref, ewc_ref,
-               occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
-               gm_ref, gcat_ref, mu_ref, ewv_ref,
-               occ_out, ehi_out, elo_out, nacc_out,
-               *scratch):
+    def kernel(seed_ref, nvalid_ref, seq_ref, vseq_ref, tf_ref, ncod_ref,
+               ewc_ref, *rest):
+        if is_wl:
+            (occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
+             enth_ref, entl_ref, hist_ref, occr_ref, modf_ref, cnt_ref,
+             gm_ref, gcat_ref, mu_ref, ewv_ref,
+             occ_out, ehi_out, elo_out, nacc_out,
+             enth_out, entl_out, hist_out, occr_out, modf_out, cnt_out,
+             *scratch) = rest
+        else:
+            (occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
+             gm_ref, gcat_ref, mu_ref, ewv_ref,
+             occ_out, ehi_out, elo_out, nacc_out, *scratch) = rest
         wb = occ_ref.shape[1]
         block = pl.program_id(0)
         block_seed = seed_ref[0] + block * jnp.int32(7919)
@@ -542,22 +890,36 @@ def make_shared_proposal_chain(
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (RP, wb), 0)
         beta = beta_ref[:]  # [1, wb] f32
 
+        # rank of each streamed role at step i: u (flip), (u, v) (swap),
+        # or the k_max slot sites (table)
+        if table:
+            role_rank = [
+                (lambda i, j=j: vseq_ref[block, i * KM + j])
+                for j in range(KM)
+            ]
+        elif swap:
+            role_rank = [
+                lambda i: seq_ref[block, i],
+                lambda i: vseq_ref[block, i],
+            ]
+        else:
+            role_rank = [lambda i: seq_ref[block, i]]
+
         if streamed:
-            # scratch: one (gm, gcat) double buffer per role (u, and v for
-            # swaps), each with its own DMA semaphore pair
+            # scratch: one (gm, gcat) double buffer per role, each with
+            # its own DMA semaphore pair
             bufs = [scratch[2 * k: 2 * k + 2] for k in range(n_roles)]
             sems = [
                 scratch[2 * n_roles + 2 * k: 2 * n_roles + 2 * k + 2]
                 for k in range(n_roles)
             ]
-            seq_refs = [seq_ref, vseq_ref][:n_roles]
             chunk_len = seq_ref.shape[1]
 
             def issue(i, slot):
-                for sref, (gbuf, cbuf), (gsem, csem) in zip(
-                    seq_refs, bufs, sems
+                for rank_fn, (gbuf, cbuf), (gsem, csem) in zip(
+                    role_rank, bufs, sems
                 ):
-                    r_i = sref[block, i]
+                    r_i = rank_fn(i)
                     pltpu.make_async_copy(
                         gm_ref.at[r_i], gbuf.at[slot], gsem.at[slot]
                     ).start()
@@ -567,10 +929,10 @@ def make_shared_proposal_chain(
 
             def wait(i, slot):
                 rows = []
-                for sref, (gbuf, cbuf), (gsem, csem) in zip(
-                    seq_refs, bufs, sems
+                for rank_fn, (gbuf, cbuf), (gsem, csem) in zip(
+                    role_rank, bufs, sems
                 ):
-                    r_i = sref[block, i]
+                    r_i = rank_fn(i)
                     pltpu.make_async_copy(
                         gm_ref.at[r_i], gbuf.at[slot], gsem.at[slot]
                     ).wait()
@@ -588,55 +950,7 @@ def make_shared_proposal_chain(
                 jnp.where(iota_r == r, occ, 0.0), axis=0, keepdims=True
             )
 
-        def site_delta(gm_x, gcat_x, occ_bf, a, b):
-            """df energy delta of flipping one site a -> b: [1, wb] pair.
-
-            The gather matmul runs in single-pass bf16 (strides and codes
-            are small integers, exact in bf16; MXU accumulates f32); the
-            g-plane select loops only over each L segment's tensor extent.
-            """
-            t_part = jax.lax.dot(
-                gm_x, occ_bf, preferred_element_type=jnp.float32
-            )  # [L, wb] f32, exact
-            dh_t = jnp.zeros((1, wb), jnp.float32)
-            dl_t = dh_t
-            for (l0, l1, ext_s) in segments:
-                ls = l1 - l0
-                d2_s = jax.lax.broadcast_in_dim(
-                    gcat_x[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
-                )
-                t_old = t_part[l0:l1] + a * d2_s
-                t_new = t_part[l0:l1] + b * d2_s
-                zero = jnp.zeros((ls, wb), jnp.float32)
-                hn = zero
-                ho = zero
-                ln_ = zero
-                lo_ = zero
-                for tt in range(ext_s):
-                    ttf = jnp.float32(tt)
-                    ghc = jax.lax.broadcast_in_dim(
-                        gcat_x[l0:l1, tt: tt + 1], (ls, wb), (0, 1)
-                    )
-                    glc = jax.lax.broadcast_in_dim(
-                        gcat_x[l0:l1, TM + tt: TM + tt + 1], (ls, wb), (0, 1)
-                    )
-                    mn = t_new == ttf
-                    mo = t_old == ttf
-                    hn = jnp.where(mn, ghc, hn)
-                    ho = jnp.where(mo, ghc, ho)
-                    ln_ = jnp.where(mn, glc, ln_)
-                    lo_ = jnp.where(mo, glc, lo_)
-                dh, dl = _df_add(hn, ln_, -ho, -lo_)
-                width = ls  # power-of-two segment tree reduction
-                while width > 1:
-                    half = width // 2
-                    dh, dl = _df_add(
-                        dh[:half, :], dl[:half, :],
-                        dh[half:width, :], dl[half:width, :],
-                    )
-                    width = half
-                dh_t, dl_t = _df_add(dh_t, dl_t, dh, dl)
-            return dh_t, dl_t  # [1, wb]
+        site_delta = make_site_delta(segments, TM, wb)
 
         def ewald_delta(r, sign, occ_x):
             """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""
@@ -648,8 +962,140 @@ def make_shared_proposal_chain(
             eh, el = _df_add(vh, vl, ch, cl)
             return sign * eh, sign * el
 
+        def mu_work(r, a, b):
+            """df chemical work mu[r, b] - mu[r, a]: [1, wb] pair."""
+            mu_u = mu_ref[pl.ds(r, 1)]  # [1, 2C] f32
+            zf = jnp.zeros((1, wb), jnp.float32)
+            mah = zf
+            mal = zf
+            mbh = zf
+            mbl = zf
+            for c in range(C):
+                cf = jnp.float32(c)
+                mh_c = jax.lax.broadcast_in_dim(
+                    mu_u[:, c: c + 1], (1, wb), (0, 1)
+                )
+                ml_c = jax.lax.broadcast_in_dim(
+                    mu_u[:, C + c: C + c + 1], (1, wb), (0, 1)
+                )
+                mah = jnp.where(a == cf, mh_c, mah)
+                mal = jnp.where(a == cf, ml_c, mal)
+                mbh = jnp.where(b == cf, mh_c, mbh)
+                mbl = jnp.where(b == cf, ml_c, mbl)
+            return _df_add(mbh, mbl, -mah, -mal)
+
+        if is_wl:
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (BP, wb), 0)
+
+            def wl_bin(eh, el):
+                """(window coord w = E - min in f32, clipped bin) pair."""
+                th, tl = _df_add(eh, el, -wl_minh, -wl_minl)
+                w = th + tl  # [1, wb] f32
+                b = jnp.clip(
+                    jnp.floor(w / wl_bs), 0.0, jnp.float32(NB - 1)
+                ).astype(jnp.int32)
+                return w, b
+
+            def bin_select(plane, b):
+                """plane[b] per walker as [1, wb] (iota compare-sum)."""
+                return jnp.sum(
+                    jnp.where(iota_b == b, plane, 0.0), axis=0, keepdims=True
+                )
+
+        def table_step(i, carry):
+            """One table-flip step: up to KM sequential slot recolorings.
+
+            Direction row + slot sites come from SMEM (exogenous, shared
+            within the block); validity = every checked slot holds its
+            from-species (and the swap row's two species differ).  The
+            proposal is symmetric (TableMove docstring), so acceptance is
+            plain Metropolis on -beta * dH with no a-priori factor.
+            """
+            occ, ehi, elo, nacc = carry
+            d = seq_ref[block, i]  # direction row (scalar)
+            rs = [vseq_ref[block, i * KM + j] for j in range(KM)]
+            if streamed:
+                slot = jax.lax.rem(i, jnp.int32(2))
+                rows = wait(i, slot)
+                nxt = jnp.minimum(i + 1, jnp.int32(chunk_len - 1))
+                issue(nxt, 1 - slot)
+            else:
+                rows = [
+                    (gm_ref[pl.ds(r, 1)][0], gcat_ref[pl.ds(r, 1)][0])
+                    for r in rs
+                ]
+            fcs = [tf_ref[0, d * KM + j] for j in range(KM)]
+            tcs = [tf_ref[1, d * KM + j] for j in range(KM)]
+            svs = [tf_ref[2, d * KM + j] for j in range(KM)]
+            a0 = [select_code(occ, r) for r in rs]  # [1, wb] each
+
+            # ---- validity ----
+            valid = svs[0] > 0  # null row has no valid slots
+            valid = jnp.broadcast_to(valid, (1, wb))
+            for j in range(KM):
+                need = jnp.logical_and(svs[j] > 0, fcs[j] >= 0)
+                ok = a0[j] == fcs[j].astype(jnp.float32)
+                valid = jnp.logical_and(
+                    valid, jnp.logical_or(jnp.logical_not(need), ok)
+                )
+            is_swap_d = tcs[0] == jnp.int32(-2)
+            valid = jnp.logical_and(
+                valid,
+                jnp.logical_or(jnp.logical_not(is_swap_d), a0[0] != a0[1]),
+            )
+
+            # ---- sequential slot application (evolving occupancy) ----
+            occ_cur = occ
+            dh = jnp.zeros((1, wb), jnp.float32)
+            dl = dh
+            for j in range(KM):
+                partner = a0[j ^ 1] if KM >= 2 else a0[j]
+                b_j = jnp.where(
+                    tcs[j] >= 0, tcs[j].astype(jnp.float32), partner
+                )
+                b_j = jnp.where(svs[j] > 0, b_j, a0[j])  # inactive: no-op
+                gm_j, gcat_j = rows[j]
+                djh, djl = site_delta(
+                    gm_j, gcat_j, occ_cur.astype(jnp.bfloat16), a0[j], b_j
+                )
+                dh, dl = _df_add(dh, dl, djh, djl)
+                if has_ewald:
+                    sign = b_j - a0[j]
+                    ejh, ejl = ewald_delta(rs[j], sign, occ_cur)
+                    dh, dl = _df_add(dh, dl, ejh, ejl)
+                if has_mu:
+                    dwh, dwl = mu_work(rs[j], a0[j], b_j)
+                    dh, dl = _df_add(dh, dl, -dwh, -dwl)
+                occ_cur = jnp.where(
+                    iota_r == rs[j],
+                    jnp.broadcast_to(b_j, (RP, wb)),
+                    occ_cur,
+                )
+
+            # ---- accept + state update ----
+            if interpret:
+                uu = _hash_uniform01(block_seed, i, 1, (1, wb))
+            else:
+                uu = _uniform01((1, wb))
+            expo = -beta * dh
+            accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
+            accept = jnp.logical_and(accept, valid)
+            occ = jnp.where(jnp.broadcast_to(accept, (RP, wb)), occ_cur, occ)
+            zf = jnp.zeros_like(dh)
+            ehi, elo = _df_add(
+                ehi, elo, jnp.where(accept, dh, zf), jnp.where(accept, dl, zf)
+            )
+            nacc = nacc + accept.astype(jnp.int32)
+            return occ, ehi, elo, nacc
+
         def step(i, carry):
-            occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
+            if table:
+                return table_step(i, carry)
+            if is_wl:
+                (occ, ehi, elo, nacc,
+                 enth, entl, hist, occr, modf, cnt) = carry
+            else:
+                occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
             u = seq_ref[block, i]  # scalar rank
 
             # ---- per-rank static rows ----
@@ -713,25 +1159,7 @@ def make_shared_proposal_chain(
 
             # ---- chemical work ----
             if has_mu and not swap:
-                mu_u = mu_ref[pl.ds(u, 1)]  # [1, 2C] f32
-                zf = jnp.zeros((1, wb), jnp.float32)
-                mah = zf
-                mal = zf
-                mbh = zf
-                mbl = zf
-                for c in range(C):
-                    cf = jnp.float32(c)
-                    mh_c = jax.lax.broadcast_in_dim(
-                        mu_u[:, c: c + 1], (1, wb), (0, 1)
-                    )
-                    ml_c = jax.lax.broadcast_in_dim(
-                        mu_u[:, C + c: C + c + 1], (1, wb), (0, 1)
-                    )
-                    mah = jnp.where(a == cf, mh_c, mah)
-                    mal = jnp.where(a == cf, ml_c, mal)
-                    mbh = jnp.where(b == cf, mh_c, mbh)
-                    mbl = jnp.where(b == cf, ml_c, mbl)
-                dwh, dwl = _df_add(mbh, mbl, -mah, -mal)
+                dwh, dwl = mu_work(u, a, b)
                 dh, dl = _df_add(dh, dl, -dwh, -dwl)
 
             # ---- accept + state update ----
@@ -739,8 +1167,24 @@ def make_shared_proposal_chain(
                 uu = _hash_uniform01(block_seed, i, 1, (1, wb))
             else:
                 uu = _uniform01((1, wb))
-            expo = -beta * dh
-            accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
+            if is_wl:
+                # Wang-Landau rule: reject outside the window, otherwise
+                # accept on S(bin_old) - S(bin_new) (reference
+                # wanglandau.py:186-202); entropies read as df pairs
+                neh, nel = _df_add(ehi, elo, dh, dl)
+                w_new, b_new = wl_bin(neh, nel)
+                _, b_old = wl_bin(ehi, elo)
+                in_win = jnp.logical_and(w_new >= 0, w_new < wl_span)
+                xh, xl = _df_add(
+                    bin_select(enth, b_old), bin_select(entl, b_old),
+                    -bin_select(enth, b_new), -bin_select(entl, b_new),
+                )
+                expo = xh + xl
+                accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
+                accept = jnp.logical_and(accept, in_win)
+            else:
+                expo = -beta * dh
+                accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
             if swap:
                 accept = jnp.logical_and(accept, is_move)
             acc_r = jnp.broadcast_to(accept, (RP, wb))
@@ -754,12 +1198,66 @@ def make_shared_proposal_chain(
                 ehi, elo, jnp.where(accept, dh, zf), jnp.where(accept, dl, zf)
             )
             nacc = nacc + accept.astype(jnp.int32)
+            if is_wl:
+                # post-step bookkeeping at the (possibly updated) current
+                # state, mirroring ops.mc._wl_step / reference
+                # wanglandau.py:222-266
+                w_cur, b_cur = wl_bin(ehi, elo)
+                valid = jnp.logical_and(w_cur >= 0, w_cur < wl_span)
+                cnt = cnt + valid.astype(jnp.int32)
+                do_upd = jnp.logical_and(
+                    valid,
+                    jax.lax.rem(cnt, jnp.int32(wl.update_period)) == 0,
+                )
+                ohb = jnp.logical_and(iota_b == b_cur, do_upd)  # [BP, wb]
+                enth, entl = _df_add(
+                    enth, entl,
+                    jnp.where(ohb, jnp.broadcast_to(modf, (BP, wb)), 0.0),
+                    jnp.zeros((BP, wb), jnp.float32),
+                )
+                one = ohb.astype(jnp.int32)
+                hist = hist + one
+                occr = occr + one
+                # flatness check every check_period-th valid step
+                do_chk = jnp.logical_and(
+                    valid,
+                    jax.lax.rem(cnt, jnp.int32(wl.check_period)) == 0,
+                )
+                visited = enth > 0
+                nvis = jnp.sum(
+                    visited.astype(jnp.float32), axis=0, keepdims=True
+                )
+                hf = hist.astype(jnp.float32)
+                hsum = jnp.sum(
+                    jnp.where(visited, hf, 0.0), axis=0, keepdims=True
+                )
+                hmean = hsum / jnp.maximum(nvis, 1.0)
+                hmin = jnp.min(
+                    jnp.where(visited, hf, jnp.float32(np.inf)),
+                    axis=0, keepdims=True,
+                )
+                flat = jnp.logical_and(
+                    nvis >= 2.0, hmin > jnp.float32(wl.flatness) * hmean
+                )
+                reset = jnp.logical_and(do_chk, flat)
+                hist = jnp.where(jnp.broadcast_to(reset, (BP, wb)), 0, hist)
+                modf = jnp.where(
+                    reset, modf / jnp.float32(wl.mod_divisor), modf
+                )
+                return (occ, ehi, elo, nacc,
+                        enth, entl, hist, occr, modf, cnt)
             return occ, ehi, elo, nacc
 
         carry = (occ_ref[:], ehi_ref[:], elo_ref[:], nacc_ref[:])
-        occ, ehi, elo, nacc = jax.lax.fori_loop(
+        if is_wl:
+            carry = carry + (
+                enth_ref[:], entl_ref[:], hist_ref[:], occr_ref[:],
+                modf_ref[:], cnt_ref[:],
+            )
+        carry = jax.lax.fori_loop(
             jnp.int32(0), nvalid_ref[0], step, carry
         )
+        occ, ehi, elo, nacc = carry[:4]
         if streamed:
             # drain the final prefetch (issued at step nvalid-1 into slot
             # nvalid % 2, never consumed): every DMA must complete before
@@ -771,9 +1269,28 @@ def make_shared_proposal_chain(
         ehi_out[:] = ehi
         elo_out[:] = elo
         nacc_out[:] = nacc
+        if is_wl:
+            enth_out[:] = carry[4]
+            entl_out[:] = carry[5]
+            hist_out[:] = carry[6]
+            occr_out[:] = carry[7]
+            modf_out[:] = carry[8]
+            cnt_out[:] = carry[9]
 
     rank_sites = t.rank_sites  # [R] int32
     ncod_dev = t.ncod
+    if table:
+        tf_dev = jnp.asarray(
+            np.stack(
+                [
+                    table_move.from_code.reshape(-1),
+                    table_move.to_code.reshape(-1),
+                    table_move.slot_valid.reshape(-1),
+                ]
+            ).astype(np.int32)
+        )  # [3, (n_dirs + 2) * k_max], row-major over (direction, slot)
+    else:
+        tf_dev = jnp.zeros((3, 1), jnp.int32)
     mu_dev = t.mu if has_mu else jnp.zeros((R, 2), jnp.float32)
     ewv_dev = t.ew_v if has_ewald else jnp.zeros((R, 2, t.rpad), jnp.float32)
     if ewv_pad_cols:
@@ -790,14 +1307,20 @@ def make_shared_proposal_chain(
         grid = Wp // wb
 
         # chunk the step axis so the SMEM-resident site sequence stays small
-        chunk = min(n_steps, chunk_steps or MAX_CHUNK_STEPS)
+        default_chunk = MAX_CHUNK_STEPS // KM if table else MAX_CHUNK_STEPS
+        chunk = min(n_steps, chunk_steps or default_chunk)
         n_chunks = -(-n_steps // chunk)
 
         k_seed, k_seq = jax.random.split(jax.random.fold_in(key, 13))
         seed0 = jax.random.randint(
             k_seed, (), 0, np.int32(2**30 - 1), dtype=jnp.int32
         )
-        if swap:
+        if table:
+            seqs, ranks = table_sequences(
+                tables, table_move, k_seq, (n_chunks, grid, chunk)
+            )
+            vseqs = ranks.reshape(n_chunks, grid, chunk * KM)
+        elif swap:
             seqs, vseqs = rank_pair_sequence(
                 tables, k_seq, (n_chunks, grid, chunk)
             )
@@ -820,7 +1343,10 @@ def make_shared_proposal_chain(
         elo = (
             jnp.pad(state["enthalpy"], (0, pad)) - ehi.astype(jnp.float64)
         ).astype(jnp.float32)
-        beta32 = jnp.pad(state["beta"], (0, pad)).astype(jnp.float32)
+        if "beta" in state:
+            beta32 = jnp.pad(state["beta"], (0, pad)).astype(jnp.float32)
+        else:
+            beta32 = jnp.zeros(Wp, jnp.float32)  # WL: acceptance is athermal
 
         out_shapes = (
             jax.ShapeDtypeStruct((RP, Wp), jnp.float32),
@@ -828,6 +1354,33 @@ def make_shared_proposal_chain(
             jax.ShapeDtypeStruct((1, Wp), jnp.float32),
             jax.ShapeDtypeStruct((1, Wp), jnp.int32),
         )
+        if is_wl:
+            ent_t = jnp.pad(
+                state["entropy"], ((0, pad), (0, BP - NB))
+            ).T  # [BP, Wp] f64
+            enth0 = ent_t.astype(jnp.float32)
+            entl0 = (ent_t - enth0.astype(jnp.float64)).astype(jnp.float32)
+            hist0 = jnp.pad(
+                state["histogram"].astype(jnp.int32), ((0, pad), (0, BP - NB))
+            ).T
+            occr0 = jnp.pad(
+                state["occurrences"].astype(jnp.int32),
+                ((0, pad), (0, BP - NB)),
+            ).T
+            modf0 = jnp.pad(state["mod_factor"], (0, pad)).astype(
+                jnp.float32
+            )[None, :]
+            cnt0 = jnp.pad(state["wl_counter"].astype(jnp.int32), (0, pad))[
+                None, :
+            ]
+            out_shapes = out_shapes + (
+                jax.ShapeDtypeStruct((BP, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((BP, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((BP, Wp), jnp.int32),
+                jax.ShapeDtypeStruct((BP, Wp), jnp.int32),
+                jax.ShapeDtypeStruct((1, Wp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Wp), jnp.int32),
+            )
         blk = lambda rows: pl.BlockSpec(  # noqa: E731
             (rows, wb), lambda i: (0, i), memory_space=pltpu.VMEM
         )
@@ -853,8 +1406,13 @@ def make_shared_proposal_chain(
             scratch_shapes = []
         with jax.enable_x64(False):
 
+            wl_specs = (
+                [blk(BP), blk(BP), blk(BP), blk(BP), blk(1), blk(1)]
+                if is_wl else []
+            )
+
             def chunk_body(carry, xs):
-                occ_c, ehi_c, elo_c, nacc_c = carry
+                occ_c, ehi_c, elo_c, nacc_c = carry[:4]
                 seed_c, nvalid_c, seq_c, vseq_c = xs
                 outs = pl.pallas_call(
                     kernel,
@@ -865,6 +1423,7 @@ def make_shared_proposal_chain(
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # sequences
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # swap partners
+                        pl.BlockSpec(memory_space=pltpu.SMEM),  # tableflip spec
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # ncod
                         pl.BlockSpec(memory_space=pltpu.SMEM),  # ewald consts
                         blk(RP),  # occ
@@ -872,12 +1431,13 @@ def make_shared_proposal_chain(
                         blk(1),  # ehi
                         blk(1),  # elo
                         blk(1),  # nacc
+                        *wl_specs,  # entropy hi/lo, hist, occur, mod, cnt
                         table_spec or full(gm_arr),
                         table_spec or full(gcat_arr),
                         full(mu_dev),
                         full(ewv_dev),
                     ],
-                    out_specs=(blk(RP), blk(1), blk(1), blk(1)),
+                    out_specs=(blk(RP), blk(1), blk(1), blk(1), *wl_specs),
                     scratch_shapes=scratch_shapes,
                     compiler_params=pltpu.CompilerParams(
                         dimension_semantics=("arbitrary",),
@@ -888,6 +1448,7 @@ def make_shared_proposal_chain(
                     nvalid_c[None],
                     seq_c,
                     vseq_c,
+                    tf_dev,
                     ncod_dev,
                     ewc_dev,
                     occ_c,
@@ -895,6 +1456,7 @@ def make_shared_proposal_chain(
                     ehi_c,
                     elo_c,
                     nacc_c,
+                    *carry[4:],  # WL state planes (empty otherwise)
                     gm_arr,
                     gcat_arr,
                     mu_dev,
@@ -908,14 +1470,17 @@ def make_shared_proposal_chain(
                 elo[None, :],
                 jnp.zeros((1, Wp), jnp.int32),
             )
+            if is_wl:
+                carry0 = carry0 + (enth0, entl0, hist0, occr0, modf0, cnt0)
             if n_chunks == 1:
-                (occ_n, ehi_n, elo_n, nacc_n), _ = chunk_body(
+                outs_n, _ = chunk_body(
                     carry0, (seeds[0], nvalid[0], seqs[0], vseqs[0])
                 )
             else:
-                (occ_n, ehi_n, elo_n, nacc_n), _ = jax.lax.scan(
+                outs_n, _ = jax.lax.scan(
                     chunk_body, carry0, (seeds, nvalid, seqs, vseqs)
                 )
+            occ_n, ehi_n, elo_n, nacc_n = outs_n[:4]
 
         out = dict(state)
         new_codes = occ_n.T[:W, :R].astype(jnp.int32)  # [W, R]
@@ -929,6 +1494,15 @@ def make_shared_proposal_chain(
         out["window_naccept"] = (
             state.get("window_naccept", jnp.zeros_like(nacc_w)) + nacc_w
         )
+        if is_wl:
+            enth_n, entl_n, hist_n, occr_n, modf_n, cnt_n = outs_n[4:10]
+            out["entropy"] = (
+                enth_n.astype(jnp.float64) + entl_n.astype(jnp.float64)
+            ).T[:W, :NB]
+            out["histogram"] = hist_n.T[:W, :NB]
+            out["occurrences"] = occr_n.T[:W, :NB]
+            out["mod_factor"] = modf_n[0, :W].astype(jnp.float64)
+            out["wl_counter"] = cnt_n[0, :W]
         return out
 
     return fn

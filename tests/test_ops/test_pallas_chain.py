@@ -186,6 +186,180 @@ def test_canonical_swap_matches_enumeration(monkeypatch):
     assert abs(mc_mean - exact) < max(30 * sem, 2e-2), (mc_mean, exact, sem)
 
 
+def _site_charges(ensemble):
+    """[site][code] -> formal charge of the species encoded there."""
+    return [
+        [float(getattr(sp, "oxi_state", 0) or 0) for sp in species]
+        for species in ensemble.processor.allowed_species
+    ]
+
+
+def test_accum_parity_spinel_tableflip():
+    """Charge-neutral TableFlip chain: parity + exact charge conservation."""
+    ce = random_expansion(spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=True)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([1, 1, 1]),
+        chemical_potentials={
+            "Li+": 0.1, "vacA0+": 0.0, "Mn3+": 0.05, "Mn4+": 0.0
+        },
+    )
+    nwalkers, n_steps = 8, 150
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1000.0, nwalkers=nwalkers, seed=3,
+        step_type="table-flip",
+    )
+    kernel = sampler.mckernel
+    built = kernel._get_chain_tables()
+    assert built is not None and built[1] == "table"
+    tables, _, table_move = built
+    occu = _random_occu(ens, nwalkers)
+    state = _chain_state(sampler, occu)
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, n_steps, block_size=nwalkers, interpret=True,
+        move="table", table_move=table_move,
+    )
+    out = fn(state, jax.random.key(0))
+    feats = jax.vmap(kernel.full_features_fn())(out["occupancy"])
+    exact = feats @ jnp.asarray(kernel.natural_params)
+    err = np.max(np.abs(np.asarray(out["enthalpy"]) - np.asarray(exact)))
+    scale = max(1.0, float(np.max(np.abs(np.asarray(exact)))))
+    assert err / scale < 1e-10, (err, scale)
+    assert np.asarray(out["naccept"]).mean() > 0
+    # every accepted composite move is charge neutral: net charge invariant
+    chg = _site_charges(ens)
+    occ1 = np.asarray(out["occupancy"])
+    for w in range(nwalkers):
+        q0 = sum(chg[s][occu[w, s]] for s in range(ens.num_sites))
+        q1 = sum(chg[s][occ1[w, s]] for s in range(ens.num_sites))
+        assert q0 == q1, (w, q0, q1)
+    assert not np.array_equal(occ1, occu)
+
+
+def test_tableflip_chain_matches_enumeration(monkeypatch):
+    """Table chain SGC averages match enumeration over the neutral manifold.
+
+    The exogenous symmetric proposal (pallas_chain.TableMove) must sample
+    exp(-beta * (E - mu.N)) over all charge-neutral occupancies reachable
+    from the start; compare against brute-force enumeration on a tiny
+    two-sublattice cell ({Li+, vac} x {Mn3+, Mn4+} with fixed O2-).
+    """
+    from smol_tpu.cofe import ClusterSubspace
+    from smol_tpu.cofe.expansion import ClusterExpansion
+    from smol_tpu.crystal import Lattice, Structure
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+
+    a = 4.1
+    lat = Lattice(np.eye(3) * a)
+    prim = Structure(
+        lat,
+        [
+            {"Li+": 0.5},
+            {"Mn3+": 0.5, "Mn4+": 0.5},
+            {"O2-": 1.0},
+            {"O2-": 1.0},
+        ],
+        [[0, 0, 0], [0.5, 0.5, 0.5], [0.25, 0.25, 0.25], [0.75, 0.75, 0.75]],
+    )
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 4.2})
+    rng = np.random.default_rng(5)
+    coefs = rng.normal(scale=0.02, size=cs.num_corr_functions)
+    coefs[0] = -1.0
+    ce = ClusterExpansion(cs, coefs)
+
+    temperature = 2000.0
+    mus = {"Li+": 0.08, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": -0.03}
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 1, 1]), chemical_potentials=mus
+    )
+    beta = 1 / (kB * temperature)
+    chg = _site_charges(ens)
+    n = ens.num_sites
+    active = sorted(
+        s for sl in ens.sublattices if sl.is_active for s in sl.sites
+    )
+    n_codes = np.array([len(sp) for sp in ens.processor.allowed_species])
+
+    # enumerate every occupancy on the charge-neutral manifold
+    energies, weights = [], []
+    for bits in product(*(range(n_codes[s]) for s in active)):
+        occu = np.zeros(n, dtype=np.int32)
+        occu[active] = bits
+        if sum(chg[s][occu[s]] for s in range(n)) != 0:
+            continue
+        feats = ens.compute_feature_vector(occu)
+        h = float(np.dot(feats, ens.natural_parameters))
+        energies.append(h)
+        weights.append(-beta * h)
+    assert len(energies) >= 4, "manifold too small to be a meaningful test"
+    weights = np.exp(weights - np.max(weights))
+    exact = float(np.dot(energies, weights) / weights.sum())
+
+    # all walkers start on the neutral manifold
+    nwalkers = 16
+    occu0 = np.zeros((nwalkers, n), dtype=np.int32)
+    for w in range(nwalkers):
+        # one Li+ (code of Li on its sublattice) and one Mn3+ kept
+        occu0[w] = 0
+    # set codes so charge is zero: pick the first enumerated neutral config
+    for bits in product(*(range(n_codes[s]) for s in active)):
+        occ = np.zeros(n, dtype=np.int32)
+        occ[active] = bits
+        if sum(chg[s][occ[s]] for s in range(n)) == 0:
+            occu0[:] = occ
+            break
+    sampler = Sampler.from_ensemble(
+        ens, temperature=temperature, nwalkers=nwalkers, seed=23,
+        step_type="table-flip",
+    )
+    assert sampler._get_chain_fn(20) is not None, "table chain not selected"
+    sampler.run(4000, occu0, thin_by=20)
+    # all sampled configurations stay charge neutral
+    occs = sampler.samples.get_occupancies(flat=True).astype(int)
+    qs = np.array(
+        [sum(chg[s][o[s]] for s in range(n)) for o in occs[-64:]]
+    )
+    assert np.all(qs == 0)
+    mc_mean = sampler.samples.mean_enthalpy(discard=50)
+    sem = np.sqrt(
+        sampler.samples.enthalpy_variance(discard=50)
+        / sampler.samples.get_enthalpies(discard=50).shape[0]
+    )
+    assert abs(mc_mean - exact) < max(30 * sem, 2e-2), (mc_mean, exact, sem)
+
+
+def test_build_table_move_guards():
+    """build_table_move falls back (None) when exactness cannot be honored."""
+    ce = random_expansion(spinel_prim(), {2: 5.3}, seed=11)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([1, 1, 1]),
+        chemical_potentials={
+            "Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0
+        },
+    )
+    from smol_tpu.moca.kernel.tableflip import TableFlip
+
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices,
+        mu_table=ens.chemical_potential_table,
+    )
+    assert tables is not None
+    usher = TableFlip(ens.sublattices)
+    tm = pallas_chain.build_table_move(tables, usher)
+    assert tm is not None
+    assert tm.n_dirs == 2 * len(usher.flip_table)
+    # direction-asymmetric weights break proposal symmetry -> unsupported
+    asym = TableFlip(
+        ens.sublattices,
+        flip_weights=np.arange(1, 2 * len(usher.flip_table) + 1),
+    )
+    if not np.allclose(
+        np.asarray(asym.flip_weights).reshape(-1, 2)[:, 0],
+        np.asarray(asym.flip_weights).reshape(-1, 2)[:, 1],
+    ):
+        assert pallas_chain.build_table_move(tables, asym) is None
+
+
 def test_multi_chunk_execution():
     """Step counts above the SMEM chunk limit split into scanned chunks."""
     ce = random_expansion(fcc_binary_prim(), {2: 6.0}, seed=7)
