@@ -38,8 +38,12 @@ class WangLandau(MCKernel):
         update_period=1,
         mod_update=None,
         seed=None,
+        shared_proposals=True,
+        chain_block_size=1024,
         **kwargs,
     ):
+        self.shared_proposals = bool(shared_proposals)
+        self.chain_block_size = int(chain_block_size)
         if min_enthalpy > max_enthalpy:
             raise ValueError("min_enthalpy cannot be larger than max_enthalpy.")
         if (max_enthalpy - min_enthalpy) / bin_size <= 1:
@@ -192,6 +196,111 @@ class WangLandau(MCKernel):
             mod_divisor=self._mod_divisor,
         )
 
+    def _get_chain_tables(self):
+        if not hasattr(self, "_chain_tables_cache"):
+            self._chain_tables_cache = self._build_chain_tables()
+        return self._chain_tables_cache
+
+    def _build_chain_tables(self):
+        """Shared-proposal chain tables for Flip/Swap Wang-Landau.
+
+        Same applicability constraints as the Metropolis chain path (see
+        smol_tpu.ops.pallas_chain); histogram/entropy bookkeeping runs
+        inside the kernel (pallas_chain.WLChain).
+        """
+        from smol_tpu.moca.kernel.mcusher import Flip, Swap
+        from smol_tpu.ops import pallas_chain
+
+        if not self.shared_proposals:
+            return None
+        if self._bias is not None:
+            return None
+        if type(self.mcusher) not in (Flip, Swap):
+            return None
+        if self.mcusher.device_log_priori() is not None:
+            return None
+        move = "flip" if type(self.mcusher) is Flip else "swap"
+        tables = pallas_chain.build_chain_tables(
+            self._ensemble.processor,
+            self._ensemble.sublattices,
+            mu_table=(
+                self._ensemble.chemical_potential_table
+                if move == "flip" else None
+            ),
+            sublattice_probabilities=self.mcusher.sublattice_probabilities,
+        )
+        if tables is None:
+            return None
+        return tables, move
+
+    def make_chain_fn(self, n_steps: int):
+        """Persistent-chain Wang-Landau: whole thinning windows on device.
+
+        The in-kernel bookkeeping covers entropy/histogram/occurrences/
+        mod-factor exactly (pallas_chain.WLChain); per-bin cumulative mean
+        features — the one [bins, features]-sized record — update once per
+        thinning window here from EXACT boundary features (the same
+        estimator on the thinned subchain; the reference updates per step,
+        smol/moca/kernel/wanglandau.py:233-238).  Boundary recomputation
+        also resets the chain's double-float enthalpy to exact f64.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from smol_tpu.ops import pallas_chain
+
+        if not pallas_chain.runtime_supported():
+            return None
+        built = self._get_chain_tables()
+        if built is None:
+            return None
+        tables, move = built
+        wl = pallas_chain.WLChain(
+            min_enthalpy=float(self._window[0]),
+            bin_size=float(self._window[2]),
+            num_levels=len(self._levels),
+            flatness=float(self.flatness),
+            check_period=int(self.check_period),
+            update_period=int(self.update_period),
+            mod_divisor=float(self._mod_divisor),
+        )
+        inner = pallas_chain.make_shared_proposal_chain(
+            tables,
+            n_steps,
+            block_size=self.chain_block_size,
+            interpret=pallas_chain.interpret_mode(),
+            move=move,
+            wl=wl,
+        )
+        full_features = self.full_features_fn()
+        natural_params = jnp.asarray(self.natural_params)
+        min_e, bs = self._window[0], self._window[2]
+        nlev = len(self._levels)
+
+        def fn(state, key):
+            st = inner(state, key)
+            feats = jax.vmap(full_features)(st["occupancy"])
+            st["features"] = feats
+            st["enthalpy"] = feats @ natural_params
+            e = st["enthalpy"]
+            b = jnp.clip(
+                jnp.floor((e - min_e) / bs).astype(jnp.int32), 0, nlev - 1
+            )
+            valid = (e >= min_e) & (e < min_e + nlev * bs)
+            oh = (jnp.arange(nlev)[None, :] == b[:, None]) & valid[:, None]
+            counts = st["wl_mean_counts"]  # [W, B] boundary-update counts
+            n = jnp.sum(jnp.where(oh, counts, 0), axis=1)  # [W]
+            mean = st["mean_features"]  # [W, B, F]
+            cur = jnp.sum(jnp.where(oh[:, :, None], mean, 0.0), axis=1)
+            new = (feats + n[:, None] * cur) / (n[:, None] + 1)
+            st["mean_features"] = jnp.where(
+                oh[:, :, None], new[:, None, :], mean
+            )
+            st["wl_mean_counts"] = counts + oh.astype(jnp.int32)
+            return st
+
+        return fn
+
     def restore_aux_state(self, state: dict, container) -> dict:
         """Resume WL aux state (histogram/entropy/...) from stored samples.
 
@@ -233,4 +342,9 @@ class WangLandau(MCKernel):
         state["mean_features"] = jnp.zeros((nwalkers, num_levels, nfeat))
         state["mod_factor"] = jnp.full(nwalkers, self._m, dtype=jnp.float64)
         state["wl_counter"] = jnp.zeros(nwalkers, dtype=jnp.int32)
+        # boundary-update counts for the chain path's per-bin mean
+        # features (unused by the per-step XLA path)
+        state["wl_mean_counts"] = jnp.zeros(
+            (nwalkers, num_levels), dtype=jnp.int32
+        )
         return state

@@ -149,3 +149,110 @@ def test_wang_landau_resume_restores_aux(wl_setup):
     assert (ent2 >= last_entropy - 1e-12).all()
     assert ent2.sum() > last_entropy.sum()
     assert (hist2.sum(axis=-1) >= 0).all() and hist2.shape == last_hist.shape
+
+
+def test_wang_landau_chain_kernel_dos(wl_setup, monkeypatch):
+    """Persistent-chain WL kernel (interpret mode): DOS vs exact degeneracy.
+
+    Exercises the in-kernel entropy/histogram/mod-factor bookkeeping
+    (smol_tpu.ops.pallas_chain.WLChain) end to end on the 8-site NN-pair
+    system with exactly countable DOS; the per-step XLA path covers the
+    tight-tolerance version in test_wang_landau_dos.
+    """
+    import jax
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = levels[1] - levels[0]
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        flatness=0.7,
+        check_period=250,
+        nwalkers=4,
+        seed=9,
+    )
+    kernel = sampler.mckernel
+    fn = kernel.make_chain_fn(10000)
+    assert fn is not None, "chain path did not build"
+    rng = np.random.default_rng(0)
+    occu = rng.integers(0, 2, (4, 8)).astype(np.int32)
+    state = kernel.initial_state(occu)
+    out = jax.tree.map(np.asarray, fn(state, jax.random.key(0)))
+
+    # flatness reached repeatedly: mod factor well below the start
+    assert np.all(out["mod_factor"] < 1e-2)
+    assert np.all(out["wl_counter"] == 10000)
+    # boundary-recomputed enthalpy is exact
+    feats = np.asarray(
+        jax.vmap(kernel.full_features_fn())(out["occupancy"])
+    )
+    np.testing.assert_allclose(
+        out["enthalpy"], feats @ np.asarray(kernel.natural_params),
+        rtol=1e-12,
+    )
+    # DOS estimate vs exact degeneracies, per walker
+    exact_bins = np.floor(
+        (exact_energies - (e_min - bin_size / 2)) / bin_size
+    ).astype(int)
+    ent = out["entropy"]
+    exact_dos = np.zeros(ent.shape[1])
+    for b in exact_bins:
+        exact_dos[b] += 1
+    vis = exact_dos > 0
+    for w in range(ent.shape[0]):
+        s = ent[w]
+        assert np.all(s[vis] > 0), "not all levels visited"
+        est = s[vis] - s[vis][0]
+        ref = np.log(exact_dos[vis]) - np.log(exact_dos[vis][0])
+        assert np.max(np.abs(est - ref)) < 0.8, (w, est, ref)
+    # histogram/occurrence planes accumulated only inside the window
+    assert out["histogram"].min() >= 0
+    assert np.all(out["occurrences"].sum(axis=1) <= 10000)
+
+
+def test_wang_landau_chain_sampler_integration(wl_setup, monkeypatch):
+    """Sampler.run dispatches the WL chain path and records full traces."""
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = levels[1] - levels[0]
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        flatness=0.7,
+        check_period=100,
+        nwalkers=2,
+        seed=5,
+    )
+    assert sampler._get_chain_fn(200) is not None
+    rng = np.random.default_rng(3)
+    occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
+    sampler.run(1000, occu, thin_by=200)
+    samples = sampler.samples
+    ent = samples.get_trace_value("entropy", flat=False)
+    assert ent.shape[0] == 5 and ent[-1].max() > 0
+    # recorded enthalpies match exact recomputation from occupancies
+    occs = samples.get_trace_value("occupancy", flat=False)
+    enths = samples.get_trace_value("enthalpy", flat=False)
+    for i in (0, 4):
+        for w in range(2):
+            e = float(
+                ens.compute_feature_vector(occs[i, w])
+                @ ens.natural_parameters
+            )
+            assert abs(e - enths[i, w]) < 1e-10 * max(1.0, abs(e))
+    # per-bin mean features updated at window boundaries
+    mf = samples.get_trace_value("cumulative_mean_features", flat=False)
+    assert np.any(mf[-1] != 0)
