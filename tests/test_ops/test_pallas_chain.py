@@ -50,7 +50,7 @@ def _chain_state(sampler, occu):
 
 
 def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0,
-                  move="flip"):
+                  move="flip", **chain_kwargs):
     sampler = Sampler.from_ensemble(
         ensemble, temperature=temperature, nwalkers=nwalkers, seed=3
     )
@@ -63,7 +63,8 @@ def _accum_parity(ensemble, nwalkers=8, n_steps=150, temperature=900.0,
     occu = _random_occu(ensemble, nwalkers)
     state = _chain_state(sampler, occu)
     fn = pallas_chain.make_shared_proposal_chain(
-        tables, n_steps, block_size=nwalkers, interpret=True, move=move
+        tables, n_steps, block_size=nwalkers, interpret=True, move=move,
+        **chain_kwargs,
     )
     out = fn(state, jax.random.key(0))
     if move == "swap":
@@ -512,3 +513,115 @@ def test_kernel_fallback_off_tpu():
     if os.environ.get("SMOL_TPU_CHAIN_INTERPRET"):
         pytest.skip("interpret mode forced in this environment")
     assert sampler.mckernel.make_chain_fn(10) is None
+
+
+@pytest.mark.parametrize("move", ["flip", "swap"])
+def test_accum_parity_streamed_hbm(move):
+    """Streamed-HBM table path (double-buffered DMA) matches exact energies.
+
+    Forces ``streamed=True`` (normally auto-enabled only above
+    VMEM_TABLE_BUDGET) with a small ``chunk_steps`` so the final chunk is
+    PARTIAL (150 = 64 + 64 + 22) — exercising the last-prefetch drain at
+    kernel exit and the per-chunk DMA slot accounting for both the
+    single-role (flip) and two-role (swap) layouts.
+    """
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    mu = {"Au": 0.3, "Cu": 0.0} if move == "flip" else None
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials=mu
+    )
+    _accum_parity(ens, move=move, streamed=True, chunk_steps=64)
+
+
+def test_accum_parity_streamed_tableflip():
+    """Streamed-HBM path with multi-slot table moves (k_max role DMAs)."""
+    ce = random_expansion(spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=True)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([1, 1, 1]),
+        chemical_potentials={
+            "Li+": 0.1, "vacA0+": 0.0, "Mn3+": 0.05, "Mn4+": 0.0
+        },
+    )
+    nwalkers, n_steps = 8, 150
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1000.0, nwalkers=nwalkers, seed=3,
+        step_type="table-flip",
+    )
+    kernel = sampler.mckernel
+    tables, _, table_move = kernel._get_chain_tables()
+    occu = _random_occu(ens, nwalkers)
+    state = _chain_state(sampler, occu)
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, n_steps, block_size=nwalkers, interpret=True,
+        move="table", table_move=table_move, streamed=True, chunk_steps=64,
+    )
+    out = fn(state, jax.random.key(0))
+    feats = jax.vmap(kernel.full_features_fn())(out["occupancy"])
+    exact = feats @ jnp.asarray(kernel.natural_params)
+    err = np.max(np.abs(np.asarray(out["enthalpy"]) - np.asarray(exact)))
+    scale = max(1.0, float(np.max(np.abs(np.asarray(exact)))))
+    assert err / scale < 1e-10, (err, scale)
+    assert np.asarray(out["naccept"]).mean() > 0
+
+
+def test_ewald_acceptance_precision_2x2x2(monkeypatch):
+    """f32 Ewald-delta acceptance is statistically unbiased at real size.
+
+    The chain kernel accumulates the electrostatic part of each delta in
+    f32 (~1e-6 relative; ops/pallas_chain.py module docstring) while
+    bookkeeping stays exact via df/thin-point recomputation.  This test
+    bounds the resulting ACCEPTANCE bias on a 2x2x2 spinel-Ewald cell
+    (112 sites — Ewald rows two orders larger than the 14-site parity
+    cell): SGC ensemble means from the chain kernel must match the
+    exact-double-float per-step XLA path at the 5-sigma level.
+    """
+    from smol_tpu.capp.generate.random import generate_random_ordered_occupancy
+
+    ce = random_expansion(spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=True)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]),
+        chemical_potentials={
+            "Li+": 0.1, "vacA0+": 0.0, "Mn3+": 0.05, "Mn4+": 0.0
+        },
+    )
+    # charge-neutral manifold via table-flip moves: plain flips on this
+    # Ewald-dominated cell quench every walker into one frozen state
+    T, nw = 2000.0, 8
+    rng = np.random.default_rng(2)
+    occ0 = generate_random_ordered_occupancy(
+        ens.processor, charge_neutral=True, rng=rng
+    )
+    occu = np.tile(occ0, (nw, 1)).astype(np.int32)
+
+    def sgc_stats(sampler, nsteps, thin, discard):
+        sampler.run(nsteps, occu, thin_by=thin)
+        enth = sampler.samples.get_trace_value("enthalpy", flat=False)
+        occs = sampler.samples.get_trace_value("occupancy", flat=False)
+        enth = enth[discard:]
+        li = (occs[discard:] == 0).sum(axis=-1).astype(float)
+        # per-walker means -> across-walker mean and SEM
+        em, lm = enth.mean(axis=0), li.mean(axis=0)
+        return (
+            em.mean(), em.std(ddof=1) / np.sqrt(nw),
+            lm.mean(), lm.std(ddof=1) / np.sqrt(nw),
+        )
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    s_chain = Sampler.from_ensemble(
+        ens, temperature=T, nwalkers=nw, seed=11, step_type="table-flip"
+    )
+    assert s_chain._get_chain_fn(50) is not None, "chain path not selected"
+    e1, se1, l1, sl1 = sgc_stats(s_chain, 2000, 50, 10)
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "0")
+    s_exact = Sampler.from_ensemble(
+        ens, temperature=T, nwalkers=nw, seed=29, shared_proposals=False,
+        step_type="table-flip",
+    )
+    assert s_exact._get_chain_fn(50) is None
+    e2, se2, l2, sl2 = sgc_stats(s_exact, 6000, 50, 30)
+
+    tol_e = 5 * np.hypot(se1, se2)
+    tol_l = 5 * np.hypot(sl1, sl2)
+    assert abs(e1 - e2) < tol_e, (e1, e2, tol_e)
+    assert abs(l1 - l2) < tol_l, (l1, l2, tol_l)
