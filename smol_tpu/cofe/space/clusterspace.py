@@ -364,13 +364,26 @@ class ClusterSubspace(MSONable):
         return Structure.from_sites(sites)
 
     def scmatrix_from_structure(self, structure) -> np.ndarray:
-        """Supercell matrix relating a structure to the prim."""
-        scmatrix = self._sc_matcher.get_supercell_matrix(structure, self.structure)
-        if scmatrix is None:
+        """Supercell matrix relating a structure to the prim.
+
+        Lattice geometry can be degenerate (cubic prims admit distinct
+        sublattices with identical vector lengths/angles), so when
+        several candidates tie the SITE MAPPING picks the right one —
+        the disambiguation pymatgen performs inside its full-structure
+        fit (reference reliance: smol/cofe/space/clusterspace.py:908).
+        """
+        cands = self._sc_matcher.get_supercell_matrix_candidates(
+            structure, self.structure
+        )
+        if not cands:
             raise StructureMatchError("Supercell could not be found from structure.")
-        if np.linalg.det(scmatrix) < 0:
-            scmatrix = -scmatrix
-        return scmatrix
+        cands = [(-m if np.linalg.det(m) < 0 else m) for m in cands]
+        if len(cands) > 1:
+            for scmatrix in cands:
+                supercell = self.structure.copy().make_supercell(scmatrix)
+                if self._site_matcher.get_mapping(supercell, structure) is not None:
+                    return scmatrix
+        return cands[0]
 
     def structure_site_mapping(self, supercell, structure) -> list:
         """Site mapping of structure onto a prim supercell."""

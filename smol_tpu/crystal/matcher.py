@@ -49,11 +49,68 @@ def _norms(matrix):
     return np.linalg.norm(matrix, axis=1)
 
 
+MAX_SHELL_BOUND = 36  # caps _shell_points at (2*36+1)^3 ~ 389k candidates
+
+
+def _lll_reduce(basis, delta=0.75):
+    """LLL-reduce a 3x3 row-vector lattice basis.
+
+    Returns ``(reduced, T)`` with ``reduced == T @ basis`` and T a
+    unimodular integer matrix.  Serves the same role as the Niggli/LLL
+    reduction pymatgen applies before supercell searches (relied on by
+    the reference at smol/cofe/space/clusterspace.py:175-202): a reduced
+    basis minimizes ``sigma_max(inv(basis))``, which bounds the integer
+    shell enumeration in :func:`_shell_points` by the physical ratio
+    (target length / shortest lattice vector) instead of blowing up on
+    skewed input bases.
+    """
+    b = np.asarray(basis, dtype=np.float64).copy()
+    t_mat = np.eye(3, dtype=np.int64)
+
+    def gs(b):
+        bstar = b.astype(np.float64).copy()
+        mu = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(i):
+                denom = np.dot(bstar[j], bstar[j])
+                mu[i, j] = np.dot(b[i], bstar[j]) / denom
+                bstar[i] = bstar[i] - mu[i, j] * bstar[j]
+        return bstar, mu
+
+    k, iters = 1, 0
+    while k < 3 and iters < 200:
+        iters += 1
+        bstar, mu = gs(b)
+        for j in range(k - 1, -1, -1):
+            q = int(round(mu[k, j]))
+            if q != 0:
+                b[k] -= q * b[j]
+                t_mat[k] -= q * t_mat[j]
+                bstar, mu = gs(b)
+        if np.dot(bstar[k], bstar[k]) >= (
+            delta - mu[k, k - 1] ** 2
+        ) * np.dot(bstar[k - 1], bstar[k - 1]):
+            k += 1
+        else:
+            b[[k, k - 1]] = b[[k - 1, k]]
+            t_mat[[k, k - 1]] = t_mat[[k - 1, k]]
+            k = max(k - 1, 1)
+    return b, t_mat
+
+
 def _shell_points(lp, target, rtol):
-    """Integer combinations c with | c @ lp | within rtol of target."""
+    """Integer combinations c with | c @ lp | within rtol of target.
+
+    ``lp`` must be (close to) reduced — the caller LLL-reduces first so
+    the enumeration bound tracks target/|shortest vector|.  Bounded by
+    MAX_SHELL_BOUND (returns empty beyond it: no match at sane cost).
+    """
     # |c| <= |c @ lp| * sigma_max(inv(lp))
     smax = np.linalg.norm(np.linalg.inv(lp), ord=2)
     b = int(np.ceil(target * (1 + rtol) * smax)) + 1
+    if b > MAX_SHELL_BOUND:
+        empty = np.empty((0, 3))
+        return empty.astype(np.int64), empty, np.empty(0)
     rng = np.arange(-b, b + 1)
     cand = np.array(np.meshgrid(rng, rng, rng, indexing="ij")).reshape(3, -1).T
     vecs = cand @ lp
@@ -85,7 +142,29 @@ class StructureMatcher:
 
         R is an arbitrary rigid rotation; lengths may deviate by ``ltol``
         (fractional) and angles by ``angle_tol`` (degrees).  Returns None
-        when no integer relation holds within tolerance.
+        when no integer relation holds within tolerance.  On point-group
+        degeneracies (distinct sublattices with identical Gram matrices —
+        common for cubic prims) this returns the lowest-error candidate;
+        use :meth:`get_supercell_matrix_candidates` when the caller can
+        disambiguate with site information.
+        """
+        cands = self.get_supercell_matrix_candidates(structure, prim)
+        return cands[0] if cands else None
+
+    def get_supercell_matrix_candidates(
+        self, structure, prim, max_candidates: int = 4
+    ):
+        """Distinct-sublattice supercell-matrix candidates, best first.
+
+        Lattice geometry alone cannot always pick the supercell: a cubic
+        lattice has several det-n sublattices with the SAME vector
+        lengths and angles, and only site positions distinguish them
+        (pymatgen resolves this inside its full-structure fit; the
+        reference relies on that at smol/cofe/space/clusterspace.py:908).
+        This returns up to ``max_candidates`` sublattice-inequivalent
+        matrices ordered by lattice mismatch so callers (e.g.
+        ``ClusterSubspace.scmatrix_from_structure``) can try the site
+        mapping against each.
         """
         lp = np.asarray(prim.lattice.matrix, dtype=np.float64)
         ls = np.asarray(structure.lattice.matrix, dtype=np.float64)
@@ -93,7 +172,7 @@ class StructureMatcher:
         vol_s = abs(np.linalg.det(ls))
         n = int(round(vol_s / vol_p))
         if n < 1 or abs(vol_s / vol_p - n) > max(0.1, 3 * self.ltol * n):
-            return None
+            return []
 
         # fast path: same orientation, integer relation directly
         m_float = ls @ np.linalg.inv(lp)
@@ -102,10 +181,21 @@ class StructureMatcher:
             abs(abs(np.linalg.det(m_int)) - n) < 0.5
             and np.max(np.abs(m_float - m_int)) <= self.ltol
         ):
-            return m_int
+            return [m_int]
 
         # general path: rotation-invariant search over integer combinations
-        # of prim vectors matching the structure vectors' lengths + angles
+        # of prim vectors matching the structure vectors' lengths + angles.
+        # LLL-reduce the prim basis first: shell enumeration cost then
+        # scales with (target length / shortest prim vector)^3 regardless
+        # of how skewed the input basis is.
+        lp_red, t_red = _lll_reduce(lp)
+        # under strain the volume ratio is biased by up to ~(1 + ltol)^3:
+        # accept any determinant in the tolerance window and let the
+        # length/angle error score pick the best relation (an exact match
+        # scores ~0; wrong-det imposters carry the full strain error)
+        n_c = vol_s / vol_p
+        n_min = max(1.0, n_c * (1 - 2 * self.ltol) - 0.5)
+        n_max = n_c * (1 + 2 * self.ltol) + 0.5
         s_norms = _norms(ls)
         cos_tol = np.deg2rad(self.angle_tol)
         s_unit = ls / s_norms[:, None]
@@ -116,15 +206,14 @@ class StructureMatcher:
             ]
         )
 
-        shells = [_shell_points(lp, t, self.ltol) for t in s_norms]
+        shells = [_shell_points(lp_red, t, self.ltol) for t in s_norms]
         if any(len(s[0]) == 0 for s in shells):
-            return None
+            return []
 
         c1s, v1s, n1s = shells[0]
         c2s, v2s, n2s = shells[1]
         c3s, v3s, n3s = shells[2]
-        best = None
-        best_err = np.inf
+        found = []  # (err, m) pairs in the reduced basis
         for i1 in range(len(c1s)):
             v1, nn1 = v1s[i1], n1s[i1]
             ang12 = np.arccos(
@@ -142,8 +231,8 @@ class StructureMatcher:
                 )
                 for i3 in np.nonzero(ok3)[0]:
                     m = np.stack([c1s[i1], c2s[i2], c3s[i3]])
-                    d = np.linalg.det(m)
-                    if abs(abs(d) - n) > 0.5:
+                    d = abs(np.linalg.det(m))
+                    if d < n_min or d > n_max:
                         continue
                     err = (
                         abs(nn1 - s_norms[0]) / s_norms[0]
@@ -153,10 +242,29 @@ class StructureMatcher:
                         + abs(ang13[i3] - s_ang[1])
                         + abs(ang23[i3] - s_ang[2])
                     )
-                    if err < best_err:
-                        best_err = err
-                        best = m.astype(np.int64)
-        return best
+                    found.append((err, m.astype(np.int64)))
+        if not found:
+            return []
+        found.sort(key=lambda em: em[0])
+        # keep the best representative of each DISTINCT sublattice (m1 and
+        # m2 span the same sublattice iff m1 @ inv(m2) is integer
+        # unimodular); rows map back to prim rows through t_red
+        out = []
+        for err, m in found:
+            mp = m @ t_red
+            distinct = True
+            for prev in out:
+                u = mp @ np.linalg.inv(prev)
+                if np.allclose(u, np.round(u), atol=1e-9) and (
+                    abs(abs(np.linalg.det(u)) - 1) < 1e-9
+                ):
+                    distinct = False
+                    break
+            if distinct:
+                out.append(mp)
+                if len(out) >= max_candidates:
+                    break
+        return out
 
     # ------------------------------------------------------------------
     # site mapping
