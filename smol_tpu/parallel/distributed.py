@@ -29,6 +29,7 @@ __all__ = [
     "initialize",
     "is_initialized",
     "global_walker_mesh",
+    "pad_walker_count",
     "process_walker_slice",
 ]
 
@@ -78,25 +79,55 @@ def global_walker_mesh(axis_name: str = "walkers") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis_name,))
 
 
+def pad_walker_count(mesh: Mesh, nwalkers: int) -> int:
+    """Smallest walker count >= nwalkers shardable over the mesh.
+
+    1D jax shardings require the axis to divide evenly over the devices
+    (non-divisible shapes silently produce a replicated index map, and
+    array construction rejects them); pad the walker ensemble up to this
+    count and ignore the tail rows in statistics.
+    """
+    n = int(mesh.devices.size)
+    return -(-int(nwalkers) // n) * n
+
+
 def process_walker_slice(mesh: Mesh, nwalkers_global: int,
                          axis_name: str = "walkers") -> slice:
     """This process's contiguous slice of the global walker axis.
 
     Derived from the sharding's addressable-device index map, so it is
-    correct for any device-id numbering the runtime assigns.
+    correct for any device-id numbering the runtime assigns.  The walker
+    count must divide evenly over the mesh (see :func:`pad_walker_count`)
+    — jax produces a meaningless replicated index map otherwise, which
+    this function rejects instead of mis-slicing.
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
+    if nwalkers_global % int(mesh.devices.size):
+        raise ValueError(
+            f"nwalkers_global={nwalkers_global} does not divide over "
+            f"{mesh.devices.size} devices; pad to "
+            f"pad_walker_count(mesh, nwalkers)="
+            f"{pad_walker_count(mesh, nwalkers_global)} first"
+        )
     sharding = NamedSharding(mesh, PartitionSpec(axis_name))
     idx_map = sharding.addressable_devices_indices_map((nwalkers_global,))
-    starts = [s[0].start or 0 for s in idx_map.values()]
-    stops = [
-        s[0].stop if s[0].stop is not None else nwalkers_global
+    intervals = sorted(
+        (
+            s[0].start or 0,
+            s[0].stop if s[0].stop is not None else nwalkers_global,
+        )
         for s in idx_map.values()
-    ]
-    lo, hi = min(starts), max(stops)
-    if sorted(starts) + [hi] != list(
-        range(lo, hi + 1, (hi - lo) // len(starts))
-    ):
+    )
+    # per-device shards may be UNEQUAL (walker count not divisible by the
+    # device count: leading shards carry one extra row) — require only
+    # that the union is one contiguous gap-free block
+    lo, hi = intervals[0][0], intervals[-1][1]
+    cur = lo
+    for s, e in intervals:
+        if s > cur:
+            raise ValueError("process shards are not one contiguous block")
+        cur = max(cur, e)
+    if cur != hi:
         raise ValueError("process shards are not one contiguous block")
     return slice(lo, hi)
