@@ -332,10 +332,11 @@ def main():
     if cfg == "tempering":
         thin_by = nsteps - nsteps % 10 or nsteps
     elif cfg == "wang-landau":
-        # WL runs the per-step XLA path: keep each device launch
-        # seconds-scale (very long single launches can trip worker
-        # execution deadlines)
-        thin_by = min(500, nsteps)
+        # chain-kernel WL runs whole thinning windows per launch; the
+        # per-step XLA fallback needs seconds-scale launches (very long
+        # single launches can trip worker execution deadlines)
+        chain_ok = sampler.mckernel.make_chain_fn(1) is not None
+        thin_by = min(2000 if chain_ok else 500, nsteps)
     rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
     print(
         json.dumps(

@@ -765,9 +765,14 @@ class WLChain:
     [min, min + num_levels * bin_size) are rejected; after every step the
     current bin's entropy += mod_factor and histogram/occurrences += 1
     (every ``update_period``-th valid step); flatness is checked every
-    ``check_period``-th valid step per walker, and a flat histogram
-    resets to zero and divides the modification factor by
-    ``mod_divisor``.  Per-bin CUMULATIVE MEAN FEATURES are the one piece
+    ``check_period``-th CHAIN step and at chunk boundaries (a scalar
+    trigger, so the plane reductions stay off the hot path — the
+    reference's every-check_period-th-in-window-step cadence is equally
+    arbitrary), and a flat histogram resets to zero and divides the
+    modification factor by ``mod_divisor``.  Per-walker lane carries
+    (current bin, its entropy as a df pair) keep the per-step plane work
+    to one bin select, one masked row write and two histogram adds.
+    Per-bin CUMULATIVE MEAN FEATURES are the one piece
     of reference bookkeeping NOT tracked per step (a [bins, features]
     plane per walker would not fit VMEM): the WangLandau kernel updates
     them once per thinning window from exact boundary features instead —
@@ -1093,7 +1098,8 @@ def make_shared_proposal_chain(
                 return table_step(i, carry)
             if is_wl:
                 (occ, ehi, elo, nacc,
-                 enth, entl, hist, occr, modf, cnt) = carry
+                 enth, entl, hist, occr, modf, cnt,
+                 w_cur, b_cur, sch, scl) = carry
             else:
                 occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
             u = seq_ref[block, i]  # scalar rank
@@ -1169,16 +1175,16 @@ def make_shared_proposal_chain(
                 uu = _uniform01((1, wb))
             if is_wl:
                 # Wang-Landau rule: reject outside the window, otherwise
-                # accept on S(bin_old) - S(bin_new) (reference
-                # wanglandau.py:186-202); entropies read as df pairs
+                # accept on S(bin_cur) - S(bin_new) (reference
+                # wanglandau.py:186-202).  The current bin's entropy
+                # (sch, scl) rides in the loop carry, so only ONE plane
+                # select (the proposed bin) runs per step.
                 neh, nel = _df_add(ehi, elo, dh, dl)
                 w_new, b_new = wl_bin(neh, nel)
-                _, b_old = wl_bin(ehi, elo)
                 in_win = jnp.logical_and(w_new >= 0, w_new < wl_span)
-                xh, xl = _df_add(
-                    bin_select(enth, b_old), bin_select(entl, b_old),
-                    -bin_select(enth, b_new), -bin_select(entl, b_new),
-                )
+                snh = bin_select(enth, b_new)
+                snl = bin_select(entl, b_new)
+                xh, xl = _df_add(sch, scl, -snh, -snl)
                 expo = xh + xl
                 accept = jnp.logical_or(expo >= 0, expo > jnp.log(uu))
                 accept = jnp.logical_and(accept, in_win)
@@ -1201,58 +1207,88 @@ def make_shared_proposal_chain(
             if is_wl:
                 # post-step bookkeeping at the (possibly updated) current
                 # state, mirroring ops.mc._wl_step / reference
-                # wanglandau.py:222-266
-                w_cur, b_cur = wl_bin(ehi, elo)
+                # wanglandau.py:222-266.  Lane-width carries (current
+                # window coord / bin / bin-entropy) keep the plane work
+                # to ONE masked row write + two histogram adds.
+                w_cur = jnp.where(accept, w_new, w_cur)
+                b_cur = jnp.where(accept, b_new, b_cur)
+                sch = jnp.where(accept, snh, sch)
+                scl = jnp.where(accept, snl, scl)
                 valid = jnp.logical_and(w_cur >= 0, w_cur < wl_span)
                 cnt = cnt + valid.astype(jnp.int32)
                 do_upd = jnp.logical_and(
                     valid,
                     jax.lax.rem(cnt, jnp.int32(wl.update_period)) == 0,
                 )
-                ohb = jnp.logical_and(iota_b == b_cur, do_upd)  # [BP, wb]
-                enth, entl = _df_add(
-                    enth, entl,
-                    jnp.where(ohb, jnp.broadcast_to(modf, (BP, wb)), 0.0),
-                    jnp.zeros((BP, wb), jnp.float32),
+                # exact df bump of the current bin's entropy on the lane
+                # carry, then broadcast write-back of the single changed
+                # row (no plane-wide double-float arithmetic)
+                nsh, nsl = _df_add(
+                    sch, scl, jnp.where(do_upd, modf, 0.0),
+                    jnp.zeros_like(modf),
                 )
+                ohb = jnp.logical_and(iota_b == b_cur, do_upd)  # [BP, wb]
+                enth = jnp.where(ohb, jnp.broadcast_to(nsh, (BP, wb)), enth)
+                entl = jnp.where(ohb, jnp.broadcast_to(nsl, (BP, wb)), entl)
+                sch = jnp.where(do_upd, nsh, sch)
+                scl = jnp.where(do_upd, nsl, scl)
                 one = ohb.astype(jnp.int32)
                 hist = hist + one
                 occr = occr + one
-                # flatness check every check_period-th valid step
-                do_chk = jnp.logical_and(
-                    valid,
-                    jax.lax.rem(cnt, jnp.int32(wl.check_period)) == 0,
+
+                # flatness check every check_period-th CHAIN step (scalar
+                # trigger -> the plane reductions run outside the hot
+                # path; the reference checks every check_period-th
+                # in-window step — an equally arbitrary cadence) and at
+                # chunk end so check_period > chunk still checks
+                trigger = jnp.logical_or(
+                    jax.lax.rem(i + 1, jnp.int32(wl.check_period)) == 0,
+                    i + 1 >= nvalid_ref[0],
                 )
-                visited = enth > 0
-                nvis = jnp.sum(
-                    visited.astype(jnp.float32), axis=0, keepdims=True
-                )
-                hf = hist.astype(jnp.float32)
-                hsum = jnp.sum(
-                    jnp.where(visited, hf, 0.0), axis=0, keepdims=True
-                )
-                hmean = hsum / jnp.maximum(nvis, 1.0)
-                hmin = jnp.min(
-                    jnp.where(visited, hf, jnp.float32(np.inf)),
-                    axis=0, keepdims=True,
-                )
-                flat = jnp.logical_and(
-                    nvis >= 2.0, hmin > jnp.float32(wl.flatness) * hmean
-                )
-                reset = jnp.logical_and(do_chk, flat)
-                hist = jnp.where(jnp.broadcast_to(reset, (BP, wb)), 0, hist)
-                modf = jnp.where(
-                    reset, modf / jnp.float32(wl.mod_divisor), modf
+
+                def do_flat(args):
+                    hist, modf = args
+                    visited = enth > 0
+                    nvis = jnp.sum(
+                        visited.astype(jnp.float32), axis=0, keepdims=True
+                    )
+                    hf = hist.astype(jnp.float32)
+                    hsum = jnp.sum(
+                        jnp.where(visited, hf, 0.0), axis=0, keepdims=True
+                    )
+                    hmean = hsum / jnp.maximum(nvis, 1.0)
+                    hmin = jnp.min(
+                        jnp.where(visited, hf, jnp.float32(np.inf)),
+                        axis=0, keepdims=True,
+                    )
+                    flat = jnp.logical_and(
+                        nvis >= 2.0,
+                        hmin > jnp.float32(wl.flatness) * hmean,
+                    )
+                    hist = jnp.where(
+                        jnp.broadcast_to(flat, (BP, wb)), 0, hist
+                    )
+                    modf = jnp.where(
+                        flat, modf / jnp.float32(wl.mod_divisor), modf
+                    )
+                    return hist, modf
+
+                hist, modf = jax.lax.cond(
+                    trigger, do_flat, lambda args: args, (hist, modf)
                 )
                 return (occ, ehi, elo, nacc,
-                        enth, entl, hist, occr, modf, cnt)
+                        enth, entl, hist, occr, modf, cnt,
+                        w_cur, b_cur, sch, scl)
             return occ, ehi, elo, nacc
 
         carry = (occ_ref[:], ehi_ref[:], elo_ref[:], nacc_ref[:])
         if is_wl:
+            w0, b0 = wl_bin(ehi_ref[:], elo_ref[:])
             carry = carry + (
                 enth_ref[:], entl_ref[:], hist_ref[:], occr_ref[:],
                 modf_ref[:], cnt_ref[:],
+                w0, b0,
+                bin_select(enth_ref[:], b0), bin_select(entl_ref[:], b0),
             )
         carry = jax.lax.fori_loop(
             jnp.int32(0), nvalid_ref[0], step, carry
@@ -1296,6 +1332,12 @@ def make_shared_proposal_chain(
     if ewv_pad_cols:
         ewv_dev = jnp.pad(ewv_dev, ((0, 0), (0, 0), (0, ewv_pad_cols)))
     ewc_dev = t.ew_c if has_ewald else jnp.zeros((1, 2 * R), jnp.float32)
+
+    if is_wl:
+        # the six [BP, wb] WL planes are per-block VMEM residents (in +
+        # out + loop carry): cap the walker block so they stay ~<4 MB
+        wl_cap = max(128, (4 * 2**20) // (40 * BP) // 128 * 128)
+        block_size = min(block_size, wl_cap)
 
     def fn(state, key):
         occu = state["occupancy"]
