@@ -129,6 +129,21 @@ def main():
     parser.add_argument("--walkers", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument(
+        "--independent",
+        action="store_true",
+        help="shared_proposals=False: disable the shared-proposal chain "
+        "kernel (falls back to the fully independent XLA step path) to "
+        "price the proposal-sharing tradeoff",
+    )
+    parser.add_argument(
+        "--block-size",
+        type=int,
+        default=None,
+        help="chain_block_size: walkers per chain-kernel block (the "
+        "proposal-sharing granularity; smaller = more independent "
+        "sequences)",
+    )
+    parser.add_argument(
         "--all",
         action="store_true",
         help="run every config sequentially (one subprocess at a time; "
@@ -152,6 +167,11 @@ def main():
     nwalkers = args.walkers or (64 if args.smoke else 8192)
     nsteps = args.steps or (200 if args.smoke else 30000)
     rng = np.random.default_rng(0)
+    kernel_opts = {}
+    if args.independent:
+        kernel_opts["shared_proposals"] = False
+    if args.block_size:
+        kernel_opts["chain_block_size"] = args.block_size
 
     cfg = args.config
     if cfg == "canonical":
@@ -163,7 +183,8 @@ def main():
         for w in range(nwalkers):
             occu[w, rng.choice(n, n // 2, replace=False)] = 1
         sampler = Sampler.from_ensemble(
-            ensemble, temperature=300.0, nwalkers=nwalkers, seed=3
+            ensemble, temperature=300.0, nwalkers=nwalkers, seed=3,
+            **kernel_opts,
         )
         metric = "metropolis_swap_attempts_per_sec_per_chip_aucu_fcc"
     elif cfg == "sgc":
@@ -179,7 +200,8 @@ def main():
             rng.random((nwalkers, ensemble.num_sites)) * n_codes
         ).astype(np.int32)
         sampler = Sampler.from_ensemble(
-            ensemble, temperature=800.0, nwalkers=nwalkers, seed=3
+            ensemble, temperature=800.0, nwalkers=nwalkers, seed=3,
+            **kernel_opts,
         )
         metric = "metropolis_flip_attempts_per_sec_per_chip_ternary_sgc"
     elif cfg in ("spinel", "spinel-ewald"):
@@ -215,14 +237,15 @@ def main():
             occu = np.tile(occ0, (nwalkers, 1)).astype(np.int32)
             sampler = Sampler.from_ensemble(
                 ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3,
-                step_type="table-flip",
+                step_type="table-flip", **kernel_opts,
             )
         else:
             occu = (
                 rng.random((nwalkers, ensemble.num_sites)) * n_codes
             ).astype(np.int32)
             sampler = Sampler.from_ensemble(
-                ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
+                ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3,
+                **kernel_opts,
             )
         metric = (
             "metropolis_flip_attempts_per_sec_per_chip_spinel112"
@@ -259,6 +282,7 @@ def main():
             flatness=0.8,
             nwalkers=nwalkers,
             seed=13,
+            **kernel_opts,
         )
         metric = "wang_landau_flip_attempts_per_sec_per_chip"
     elif cfg == "sqs":
@@ -324,7 +348,7 @@ def main():
         ).astype(np.int32)
         sampler = Sampler.from_ensemble(
             ensemble, temperature=ladder, nwalkers=nwalkers, seed=3,
-            replica_exchange_period=10,
+            replica_exchange_period=10, **kernel_opts,
         )
         metric = "tempering_flip_attempts_per_sec_per_chip_8192_replicas"
 

@@ -7,6 +7,11 @@ vmapped batch of walkers per shape SIMULTANEOUSLY on device, tracking each
 walker's best-scoring configuration in the compiled loop.  Scoring is the
 same annealed objective d = -w L + ||W(f - f_T)||_1 at kB = 1
 (https://doi.org/10.1016/j.calphad.2013.06.006).
+
+On TPU, each temperature stage runs as ONE launch of the persistent
+distance-chain Pallas kernel (smol_tpu.ops.pallas_sqs): occupancies,
+feature planes, and per-walker bests all live in VMEM for the whole
+stage; the per-step XLA path remains as the general fallback.
 """
 
 from __future__ import annotations
@@ -261,6 +266,42 @@ class StochasticSQSGenerator(SQSGenerator):
         self._step_type = step_type
         self._temperature = temperature
         self._kernel_kwargs = kernel_kwargs or {}
+        # chain kernels memoized per (shape, steps): rebuilding makes a
+        # fresh closure, which would retrace/recompile on every generate()
+        self._chain_fns = {}
+
+    def _chain_anneal_fn(self, processor, mcmc_steps):
+        """Distance-chain Pallas kernel annealing fn, or None.
+
+        One kernel launch anneals a whole temperature stage on device
+        (smol_tpu.ops.pallas_sqs); the feature plane is recomputed
+        exactly at every stage boundary.  Falls back to the per-step XLA
+        path (ops/mc.py) off-TPU or for unsupported processors.
+        """
+        from smol_tpu.ops import pallas_sqs
+
+        if self._step_type != "swap" or not pallas_sqs.runtime_supported():
+            return None
+        tables = pallas_sqs.build_distance_tables(
+            processor, processor.get_sublattices()
+        )
+        if tables is None:
+            return None
+
+        from smol_tpu.ops.correlations import corr_from_occupancy
+
+        dp = processor._dp
+        num_corr = len(processor.target_vector)
+
+        def base_corr_fn(occu):
+            return corr_from_occupancy(occu, dp, num_corr)
+
+        return pallas_sqs.make_distance_chain(
+            tables,
+            int(mcmc_steps),
+            base_corr_fn,
+            interpret=pallas_sqs.interpret_mode(),
+        )
 
     def generate(
         self,
@@ -325,34 +366,47 @@ class StochasticSQSGenerator(SQSGenerator):
             state["best_enthalpy"] = state["enthalpy"]
             state["best_occupancy"] = state["occupancy"]
 
-            # Partial-wrapped so all same-size supercell shapes share one
-            # XLA compilation (see ops/mc.py run_chain)
-            step_with_best = jax.tree_util.Partial(
-                _step_tracking_best, kernel.make_step_fn()
-            )
-            record = jax.tree_util.Partial(_record_best)
+            ck = (shape_i, int(mcmc_steps))
+            if ck not in self._chain_fns:
+                self._chain_fns[ck] = self._chain_anneal_fn(
+                    processor, mcmc_steps
+                )
+            chain_fn = self._chain_fns[ck]
+            if chain_fn is None:
+                # Partial-wrapped so all same-size supercell shapes share
+                # one XLA compilation (see ops/mc.py run_chain)
+                step_with_best = jax.tree_util.Partial(
+                    _step_tracking_best, kernel.make_step_fn()
+                )
+                record = jax.tree_util.Partial(_record_best)
 
             key = jax.random.key(int(rng.integers(2**31)))
             for temp in temperatures:
                 state["beta"] = jnp.full(nwalkers, 1.0 / float(temp))
                 key, subkey = jax.random.split(key)
-                state, _ = run_chain(
-                    state, subkey, step_with_best, record, 1, int(mcmc_steps)
-                )
+                if chain_fn is not None:
+                    state = chain_fn(state, subkey)
+                else:
+                    state, _ = run_chain(
+                        state, subkey, step_with_best, record, 1,
+                        int(mcmc_steps),
+                    )
             jax.block_until_ready(state["best_enthalpy"])
             if progress:
                 best = float(jnp.min(state["best_enthalpy"]))
                 print(f"shape {shape_i}: best score {best:.6f}")
 
             best_occus = np.asarray(state["best_occupancy"])
-            best_scores = np.asarray(state["best_enthalpy"])
+            coefs = np.asarray(processor.coefs)
             for w in range(nwalkers):
+                # exact host rescore: the chain kernel tracks best scores
+                # at f32 delta precision, the stored score must be exact
                 features = processor.compute_feature_vector(best_occus[w])
                 self._best.append(
                     {
                         "shape": shape_i,
                         "occupancy": best_occus[w].astype(np.int32),
-                        "score": float(best_scores[w]),
+                        "score": float(coefs @ features),
                         "features": features,
                     }
                 )
