@@ -360,6 +360,8 @@ def main():
         # per-step XLA fallback needs seconds-scale launches (very long
         # single launches can trip worker execution deadlines)
         chain_ok = sampler.mckernel.make_chain_fn(1) is not None
+        if chain_ok and args.steps is None and not args.smoke:
+            nsteps = 30000  # chain speed needs a longer run to measure
         thin_by = min(2000 if chain_ok else 500, nsteps)
     rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
     print(

@@ -9,7 +9,9 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the ambient env points at a TPU backend: the suite
+# (and every subprocess it spawns) must be hermetic w.r.t. tunnel state
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 # persistent XLA compile cache: repeat suite runs (and the example
 # subprocesses, which inherit the env var) skip recompilation

@@ -22,8 +22,10 @@ EXAMPLES = sorted(
 def test_example_runs(script):
     env = dict(os.environ)
     env["SMOL_TPU_EXAMPLE_SMOKE"] = "1"
-    # examples must run on the CPU test platform like the rest of the suite
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # examples must run on the CPU test platform like the rest of the
+    # suite — force it (the ambient env may point JAX at a TPU tunnel,
+    # and a hung tunnel must not hang the suite)
+    env["JAX_PLATFORMS"] = "cpu"
     result = subprocess.run(
         [sys.executable, str(script)],
         env=env,
