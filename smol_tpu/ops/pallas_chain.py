@@ -1431,7 +1431,7 @@ def make_shared_proposal_chain(
             memory_space=pltpu.VMEM,
         )
         if streamed:
-            table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            table_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch_shapes = [
                 shp
                 for _ in range(n_roles)
