@@ -155,6 +155,18 @@ def main():
     if args.all:
         return _run_all(args)
 
+    # Honor JAX_PLATFORMS even where a site hook re-pins jax_platforms at
+    # interpreter start (the axon sitecustomize does config.update, which
+    # silently overrides the env var): re-apply the env value explicitly so
+    # JAX_PLATFORMS=cpu smoke runs stay off a (possibly down) TPU tunnel.
+    import os
+
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "axon" not in env_platforms:
+        import jax
+
+        jax.config.update("jax_platforms", env_platforms)
+
     import smol_tpu  # noqa: F401  (enables x64)
     from smol_tpu.benchmarks.systems import (
         fcc_binary_prim,
