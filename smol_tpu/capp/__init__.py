@@ -5,9 +5,11 @@ from smol_tpu.capp.generate import (
     enumerate_supercell_matrices,
     generate_random_ordered_occupancy,
 )
+from smol_tpu.capp.generate.groundstate import PeriodicGroundStateSolver
 
 __all__ = [
     "enumerate_supercell_matrices",
     "generate_random_ordered_occupancy",
     "StochasticSQSGenerator",
+    "PeriodicGroundStateSolver",
 ]

@@ -13,11 +13,19 @@ from smol_tpu.moca.processor.distance import (
     ClusterInteractionDistanceProcessor,
     CorrelationDistanceProcessor,
 )
+from smol_tpu.moca.kernel import (
+    available_bias_types,
+    available_mckernels,
+    available_step_types,
+)
 from smol_tpu.moca.sampler.container import SampleContainer
 from smol_tpu.moca.sampler.sampler import Sampler
 from smol_tpu.moca.sublattice import Sublattice
 
 __all__ = [
+    "available_mckernels",
+    "available_step_types",
+    "available_bias_types",
     "Processor",
     "ClusterExpansionProcessor",
     "ClusterDecompositionProcessor",

@@ -41,9 +41,26 @@ __all__ = [
     "mckernel_factory",
     "mcusher_factory",
     "mcbias_factory",
+    "available_mckernels",
     "available_step_types",
     "available_bias_types",
 ]
+
+
+def available_mckernels() -> tuple:
+    """Names of the available MC kernel types.
+
+    Matches reference smol's ``available_mckernels``
+    (smol/moca/kernel/__init__.py:26), which walks the common
+    MCKernelInterface — here the single-cell ``MCKernel`` tree plus the
+    multicell kernels (a separate base in this design).
+    """
+    from smol_tpu.moca.kernel.multicell import MulticellKernel
+    from smol_tpu.utils.class_utils import get_subclasses
+
+    return tuple(get_subclasses(MCKernel)) + tuple(
+        get_subclasses(MulticellKernel)
+    )
 
 
 def mckernel_factory(kernel_type, ensemble, step_type, *args, **kwargs):

@@ -32,6 +32,12 @@ def main(n_devices: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    # A site hook may have already pinned jax_platforms via config.update at
+    # interpreter start (the axon sitecustomize does), which overrides the
+    # env var; re-apply explicitly so the dry run never dials a TPU tunnel.
+    jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
