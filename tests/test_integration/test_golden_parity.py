@@ -213,3 +213,82 @@ def test_golden_feature_matrix_rows_match_entry_correlations():
         fm = np.asarray(golden["feature_matrix"])
         corrs = np.array([e["correlations"] for e in golden["entries"]])
         assert np.allclose(fm, corrs, atol=1e-12)
+
+
+def test_golden_mc_energy_trace(lno_prim):
+    """MC trace enthalpies reproduce reference-fitted energies at 1e-8.
+
+    Ties the golden payload into the whole MC stack (BASELINE.md north
+    star: "energy traces matching smol CPU to 1e-8 rel"): the ensemble
+    energy of a golden entry's occupancy must equal size x (reference
+    correlation vector @ reference coefficients), and every enthalpy the
+    sampler records while walking away from it must equal the exact
+    recomputed energy of the recorded occupancy.
+    """
+    from smol_tpu.moca import Ensemble, Sampler
+
+    golden = _load_golden("golden_lno_ce_ewald.json")
+    cs = _build_subspace(lno_prim, ewald=True)
+    coefs_ref = np.asarray(golden["coefs"])
+
+    # reference coefficients in this repo's column order (see
+    # test_golden_energy_predictions for the tied-group permutation)
+    mine, stored = _entry_corrs(cs, golden)
+    groups = _tied_groups(cs)
+    _, perm = _match_with_tied_permutation(
+        mine[:, : cs.num_corr_functions],
+        stored[:, : cs.num_corr_functions],
+        groups,
+    )
+    full_perm = np.concatenate([perm, [mine.shape[1] - 1]])
+    coefs_mine = np.empty_like(coefs_ref)
+    coefs_mine[full_perm] = coefs_ref
+
+    from smol_tpu.cofe import ClusterExpansion
+
+    expansion = ClusterExpansion(cs, coefs_mine)
+
+    # one golden entry (all LNO entries are size-6 supercells)
+    e = golden["entries"][0]
+    scm = np.asarray(e["supercell_matrix"])
+    struct = decode_pmg(e["structure"])
+    ensemble = Ensemble.from_cluster_expansion(expansion, scm)
+    occu = np.asarray(
+        cs.occupancy_from_structure(
+            struct,
+            scmatrix=scm,
+            site_mapping=[int(x) for x in e["site_mapping"]],
+            encode=True,
+        ),
+        dtype=np.int32,
+    )
+
+    energy = float(
+        ensemble.compute_feature_vector(occu) @ ensemble.natural_parameters
+    )
+    pred_ref = float(
+        np.asarray(e["correlations"], dtype=np.float64) @ coefs_ref
+    ) * e["size"]
+    assert abs(energy - pred_ref) / max(1.0, abs(pred_ref)) < 1e-8
+
+    # short canonical MC from the golden occupancy: every recorded
+    # enthalpy equals the exact energy of the recorded occupancy
+    W = 4
+    occus = np.tile(occu, (W, 1))
+    sampler = Sampler.from_ensemble(
+        ensemble, temperature=2000.0, nwalkers=W, seed=21
+    )
+    sampler.run(60, occus, thin_by=10)
+    occ_t = sampler.samples.get_occupancies(flat=False)
+    enth_t = sampler.samples.get_enthalpies(flat=False)
+    assert enth_t.shape[0] >= 2
+    for s in range(enth_t.shape[0]):
+        for w in range(W):
+            exact = float(
+                ensemble.compute_feature_vector(
+                    occ_t[s, w].astype(np.int32)
+                )
+                @ ensemble.natural_parameters
+            )
+            rel = abs(exact - float(enth_t[s, w])) / max(1.0, abs(exact))
+            assert rel < 1e-8, (s, w, rel)
