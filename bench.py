@@ -60,6 +60,9 @@ def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
 ALL_CONFIGS = (
     "canonical", "sgc", "spinel", "spinel-ewald", "tempering",
     "wang-landau", "sqs",
+    # spinel with shared_proposals=False: records the price of fully
+    # independent per-walker proposal streams (VERDICT r2 item 6)
+    "spinel-independent",
 )
 
 
@@ -76,7 +79,10 @@ def _run_all(args):
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for cfg in ALL_CONFIGS:
-        cmd = [sys.executable, os.path.abspath(__file__), "--config", cfg]
+        base = cfg.removesuffix("-independent")
+        cmd = [sys.executable, os.path.abspath(__file__), "--config", base]
+        if cfg.endswith("-independent"):
+            cmd.append("--independent")
         if args.smoke:
             cmd.append("--smoke")
         print(f"bench --all: running {cfg} ...", file=sys.stderr)

@@ -48,7 +48,13 @@ ROWS = {
         "SQS distance annealing (multi-shape)",
         "distance chain kernel",
     ),
+    "spinel-independent": (
+        "spinel with `shared_proposals=False` (independence price)",
+        "per-walker XLA step path",
+    ),
 }
+# the independence-price row is informative, not a BASELINE config
+NON_BASELINE = {"spinel-independent"}
 
 
 def main():
@@ -64,15 +70,16 @@ def main():
             err = (rec or {}).get("error", "not measured")
             lines.append(f"| {desc} | ({err}) | — | {path} |")
             continue
-        n_meas += 1
         v = rec["value"]
         ratio = rec["vs_baseline"]
-        if ratio >= 1.0:
-            n_ok += 1
+        if cfg not in NON_BASELINE:
+            n_meas += 1
+            if ratio >= 1.0:
+                n_ok += 1
         lines.append(
             f"| {desc} | **{v / 1e6:.1f} M** | **{ratio:.2f}x** | {path} |"
         )
-    if n_ok == n_meas == len(ROWS):
+    if n_ok == n_meas == len(ROWS) - len(NON_BASELINE):
         claim = (
             "**Every BASELINE config beats the 1e8 north star** "
             "(driver-recorded artifacts in `BENCH_configs.json`):"
