@@ -165,6 +165,38 @@ class ClusterExpansion(MSONable):
         )
         return float(np.dot(corrs, self.coefs))
 
+    def cluster_interactions_from_structure(
+        self, structure, normalized=True, scmatrix=None, site_mapping=None
+    ) -> np.ndarray:
+        """Per-orbit cluster-interaction values for a structure.
+
+        A cluster interaction sums all expansion terms over one orbit
+        (reference expansion.py:290; evaluator.pyx:170).  Entry 0 is the
+        empty-orbit coefficient.
+        """
+        from smol_tpu.ops import ref as refops
+
+        cs = self._subspace
+        if scmatrix is None:
+            scmatrix = cs.scmatrix_from_structure(structure)
+        occu = cs.occupancy_from_structure(
+            structure, scmatrix=scmatrix, site_mapping=site_mapping,
+            encode=True,
+        )
+        tensors = self.cluster_interaction_tensors
+        indices = cs.get_orbit_indices(scmatrix)
+        interactions = refops.interactions_from_occupancy(
+            occu,
+            refops.get_orbit_data(cs.orbits),
+            [np.ravel(t) for t in tensors[1:]],
+            float(tensors[0]),
+            indices.arrays,
+            len(cs.orbits) + 1,
+        )
+        if not normalized:
+            interactions = interactions * cs.num_prims_from_matrix(scmatrix)
+        return interactions
+
     def prune(self, threshold=0.0, with_multiplicity=False):
         """Remove correlation functions with |coefficient| <= threshold."""
         coefs = self.eci if with_multiplicity else self.coefs

@@ -274,6 +274,37 @@ class ClusterSubspace(MSONable):
     def iterorbits(self):
         return iter(self.orbits)
 
+    def orbits_by_cutoffs(self, upper, lower=0) -> list:
+        """Orbits whose base-cluster diameter is within [lower, upper]
+        inclusive (reference clusterspace.py:499)."""
+        return [
+            orbit
+            for orbit in self.orbits
+            if lower <= orbit.base_cluster.diameter <= upper
+        ]
+
+    def get_mapped_site_properties(
+        self, structure, scmatrix=None, site_mapping=None
+    ) -> dict:
+        """Site properties of ``structure`` mapped onto the prim supercell
+        site order (reference clusterspace.py:858): for each matched
+        supercell site, the property values of the matching input site.
+        Unmatched supercell sites (vacancies) contribute no entry.
+        """
+        if scmatrix is None:
+            scmatrix = self.scmatrix_from_structure(structure)
+        supercell = self.structure.copy().make_supercell(scmatrix)
+        if site_mapping is None:
+            site_mapping = self.structure_site_mapping(supercell, structure)
+        site_mapping = list(site_mapping)
+        site_properties = {p: [] for p in structure.site_properties}
+        for i in range(len(supercell)):
+            if i in site_mapping:
+                src = structure[site_mapping.index(i)]
+                for prop in site_properties:
+                    site_properties[prop].append(src.properties.get(prop))
+        return site_properties
+
     # ---------------- external terms ----------------
 
     def add_external_term(self, term):

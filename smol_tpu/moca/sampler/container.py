@@ -133,6 +133,27 @@ class SampleContainer(MSONable):
     def get_temperatures(self, discard=0, thin_by=1, flat=True):
         return self.get_trace_value("temperature", discard, thin_by, flat)
 
+    def get_orbit_factors(
+        self, function_orbit_ids, discard=0, thin_by=1, flat=True
+    ):
+        """Per-orbit sums of natural-parameter-weighted features.
+
+        Reference container.py:269 (its boolean-mask application only
+        works for a single sample row; here the grouping is applied along
+        the feature axis of every sample).
+        """
+        vals = self.natural_parameters * self.get_feature_vectors(
+            discard=discard, thin_by=thin_by, flat=flat
+        )
+        ids = np.asarray(function_orbit_ids)
+        return np.stack(
+            [
+                vals[..., ids == i].sum(axis=-1)
+                for i in range(int(ids.max()) + 1)
+            ],
+            axis=-1,
+        )
+
     def sampling_efficiency(self, discard=0, flat=True):
         """Mean acceptance fraction of the recorded windows."""
         if "accept_rate" in self._trace.names:

@@ -158,3 +158,64 @@ def test_mson_roundtrip_with_cached_indices(cs_binary):
     assert isinstance(cs2, ClusterSubspace)
     assert cs2.num_corr_functions == cs_binary.num_corr_functions
     np.testing.assert_allclose(cs2.corr_from_occupancy(occu, scm), corr0)
+
+
+def test_orbits_by_cutoffs(cs_binary):
+    """Diameter-window orbit selection (reference clusterspace.py:499)."""
+    upper = 3.5
+    within = cs_binary.orbits_by_cutoffs(upper)
+    assert 0 < len(within) < len(cs_binary.orbits)
+    assert all(o.base_cluster.diameter <= upper for o in within)
+    outside = [o for o in cs_binary.orbits if o not in within]
+    assert all(o.base_cluster.diameter > upper for o in outside)
+    # lower bound excludes point orbits (diameter 0)
+    pairs_up = cs_binary.orbits_by_cutoffs(upper, lower=1e-9)
+    assert all(o.num_sites > 1 for o in pairs_up)
+
+
+def test_get_mapped_site_properties(cs_binary):
+    """Site properties map through the supercell matcher
+    (reference clusterspace.py:858)."""
+    from smol_tpu.crystal import Structure
+
+    prim = fcc_binary_prim()
+    scm = np.diag([2, 1, 1])
+    sc = prim.make_supercell(scm)
+    species = ["Au" if i % 2 else "Cu" for i in range(len(sc))]
+    magmoms = [float(i) for i in range(len(sc))]
+    tagged = Structure(
+        sc.lattice, species, sc.frac_coords,
+        site_properties={"magmom": magmoms},
+    )
+    mapped = cs_binary.get_mapped_site_properties(tagged, scmatrix=scm)
+    assert set(mapped) == {"magmom"}
+    assert sorted(mapped["magmom"]) == sorted(magmoms)
+
+
+def test_cluster_interactions_from_structure(cs_binary, rng):
+    """Orbit-summed interactions reproduce the predicted energy
+    (reference expansion.py:290)."""
+    from smol_tpu.cofe import ClusterExpansion
+    from smol_tpu.crystal import Structure
+
+    prim = fcc_binary_prim()
+    coefs = rng.normal(0, 0.1, cs_binary.num_corr_functions)
+    exp = ClusterExpansion(cs_binary, coefs)
+    scm = np.diag([2, 2, 1])
+    sc = prim.make_supercell(scm)
+    ordered = Structure(
+        sc.lattice,
+        ["Au" if i % 2 else "Cu" for i in range(len(sc))],
+        sc.frac_coords,
+    )
+    inter = exp.cluster_interactions_from_structure(ordered, scmatrix=scm)
+    assert inter.shape == (len(cs_binary.orbits) + 1,)
+    mult = np.concatenate(
+        [[1.0], [o.multiplicity for o in cs_binary.orbits]]
+    )
+    pred = exp.predict(ordered, normalized=True, scmatrix=scm)
+    assert abs(float(mult @ inter) - pred) < 1e-10
+    extensive = exp.cluster_interactions_from_structure(
+        ordered, normalized=False, scmatrix=scm
+    )
+    np.testing.assert_allclose(extensive, inter * 4, rtol=1e-12)

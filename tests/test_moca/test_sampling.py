@@ -193,3 +193,28 @@ def test_anneal(small_ce):
     # energies should not increase on average as T drops
     e = sampler.samples.get_energies(flat=False).mean(axis=1)
     assert e[140:].mean() <= e[:50].mean() + 1e-8
+
+
+def test_get_orbit_factors(small_ce):
+    """Per-orbit factor getter groups weighted features by orbit id
+    (reference container.py:269)."""
+    scm = np.diag([2, 2, 2])
+    ens = Ensemble.from_cluster_expansion(small_ce, scm)
+    rng = np.random.default_rng(4)
+    occu = rng.integers(0, 2, (2, ens.num_sites)).astype(np.int32)
+    sampler = Sampler.from_ensemble(ens, temperature=800.0, nwalkers=2, seed=5)
+    sampler.run(40, occu, thin_by=10)
+    samples = sampler.samples
+    # decomposition processor: one feature per orbit already
+    nf = len(samples.natural_parameters)
+    ids = np.arange(nf)
+    factors = samples.get_orbit_factors(ids, flat=False)
+    assert factors.shape[-1] == nf
+    vals = samples.natural_parameters * samples.get_feature_vectors(flat=False)
+    np.testing.assert_allclose(factors, vals, rtol=1e-12)
+    # grouping all features into one orbit sums to the enthalpy
+    ones = np.zeros(nf, dtype=np.int64)
+    total = samples.get_orbit_factors(ones, flat=False)
+    np.testing.assert_allclose(
+        total[..., 0], samples.get_enthalpies(flat=False), rtol=1e-10
+    )
