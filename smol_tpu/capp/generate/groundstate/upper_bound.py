@@ -284,6 +284,25 @@ class PeriodicGroundStateSolver:
             self.ground_state_occupancy
         )
 
+    # reference-API conveniences (solver.py:397-482).  The reference's
+    # cvxpy introspection surface (problem/variables/constraints/
+    # objective_function) has no scipy-MILP analog and is intentionally
+    # not mirrored — see docs/MIGRATION.md.
+    @property
+    def structure(self):
+        """Alias of ground_state_structure (reference solver.py:476)."""
+        return self.ground_state_structure
+
+    @property
+    def sublattices(self):
+        """Sublattices of the underlying ensemble."""
+        return self.ensemble.sublattices
+
+    def reset(self):
+        """Discard the stored solution so the next access re-solves."""
+        self._solution = None
+        self._energy = None
+
     def _add_ewald_terms(self, processor, add_term) -> float:
         """Quadratic boolean terms from an Ewald sub-processor."""
         from smol_tpu.moca.processor.composite import CompositeProcessor

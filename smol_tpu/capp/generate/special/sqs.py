@@ -167,6 +167,32 @@ class SQSGenerator(ABC):
         )
         return cls(subspace, supercell_size, **kwargs)
 
+    @classmethod
+    def from_processors(cls, processors, **kwargs):
+        """Build a generator from prebuilt distance processors
+        (reference sqs.py:238): the subspace, supercell size, and feature
+        type are inferred from the first processor.
+        """
+        if not processors:
+            raise ValueError("at least one processor is required")
+        p0 = processors[0]
+        feature_type = (
+            "correlation"
+            if isinstance(p0, CorrelationDistanceProcessor)
+            else "cluster-interaction"
+        )
+        return cls(
+            p0.cluster_subspace,
+            p0.size,
+            feature_type=feature_type,
+            target_vector=np.asarray(p0.target_vector),
+            target_weights=np.asarray(p0.coefs[1:]),
+            match_weight=float(-p0.coefs[0]),
+            match_tol=float(p0.match_tol),
+            processors=list(processors),
+            **kwargs,
+        )
+
     @property
     def processors(self):
         return self._processors

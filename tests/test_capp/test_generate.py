@@ -105,3 +105,23 @@ def test_stochastic_sqs_generator():
     assert comp[Element("Cu")] == pytest.approx(4.0)
     # an SQS anneal should find a configuration with decent pair matching
     assert best[0].score < 1.0
+
+
+def test_sqs_from_processors():
+    """SQSGenerator.from_processors round-trips generator config
+    (reference sqs.py:238)."""
+    import numpy as np
+
+    from smol_tpu.benchmarks.systems import fcc_binary_prim
+    from smol_tpu.capp import StochasticSQSGenerator
+
+    gen = StochasticSQSGenerator.from_structure(
+        fcc_binary_prim(), cutoffs={2: 4.2}, supercell_size=4
+    )
+    gen2 = StochasticSQSGenerator.from_processors(gen.processors)
+    assert len(gen2.processors) == len(gen.processors)
+    assert gen2.feature_type == gen.feature_type
+    assert gen2.supercell_size == gen.supercell_size
+    p0, q0 = gen.processors[0], gen2.processors[0]
+    np.testing.assert_allclose(p0.target_vector, q0.target_vector)
+    np.testing.assert_allclose(p0.coefs, q0.coefs)

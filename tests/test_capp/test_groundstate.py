@@ -82,3 +82,16 @@ def test_ground_state_with_ewald():
     assert energy == pytest.approx(exact_e, abs=1e-6)
     recomputed = ensemble.processor.compute_property(occu)
     assert energy == pytest.approx(recomputed, abs=1e-6)
+
+
+def test_groundstate_reset_and_aliases(small_ensemble):
+    """reset() discards the cached solution; structure/sublattices alias
+    (reference solver.py:397-482)."""
+    solver = PeriodicGroundStateSolver(small_ensemble)
+    occu, energy = solver.solve()
+    assert solver.ground_state_structure == solver.structure
+    assert solver.sublattices is small_ensemble.sublattices
+    solver.reset()
+    assert solver._solution is None
+    occu2, energy2 = solver.solve()
+    assert energy2 == energy
