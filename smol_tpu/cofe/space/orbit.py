@@ -246,6 +246,21 @@ class Orbit(MSONable):
 
     # ---------------- modification ----------------
 
+    def remove_bit_combo(self, bits):
+        """Remove the bit combo containing the given ordering.
+
+        Any single symmetrically-equivalent ordering identifies the combo
+        (reference orbit.py:306).
+        """
+        bits = np.asarray(bits, dtype=np.int32)
+        inds = [
+            i
+            for i, bit_combo in enumerate(self.bit_combos)
+            if any(np.array_equal(bits, b) for b in bit_combo)
+        ]
+        if inds:
+            self.remove_bit_combos_by_inds(inds)
+
     def remove_bit_combos_by_inds(self, inds):
         """Remove orbit functions by their local combo indices."""
         if max(inds) > len(self.bit_combos) - 1:
