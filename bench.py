@@ -173,6 +173,8 @@ def main():
 
         jax.config.update("jax_platforms", env_platforms)
 
+    import jax
+
     import smol_tpu  # noqa: F401  (enables x64)
     from smol_tpu.benchmarks.systems import (
         fcc_binary_prim,
@@ -348,6 +350,8 @@ def main():
                     "value": rate,
                     "unit": "attempts/s",
                     "vs_baseline": rate / 1e8,
+                    "platform": jax.default_backend(),
+                    "smoke": bool(args.smoke),
                 }
             )
         )
@@ -389,6 +393,8 @@ def main():
                 "value": rate,
                 "unit": "attempts/s",
                 "vs_baseline": rate / 1e8,
+                "platform": jax.default_backend(),
+                "smoke": bool(args.smoke),
             }
         )
     )
