@@ -66,6 +66,12 @@ def main():
     n_ok = n_meas = 0
     for cfg, (desc, path) in ROWS.items():
         rec = results.get(cfg)
+        if rec is not None and (
+            rec.get("smoke")
+            or rec.get("platform") not in (None, "tpu", "axon")
+        ):
+            # never publish smoke/CPU numbers as TPU results
+            rec = {"error": f"non-TPU record ({rec.get('platform')})"}
         if rec is None or "value" not in rec:
             err = (rec or {}).get("error", "not measured")
             lines.append(f"| {desc} | ({err}) | — | {path} |")
