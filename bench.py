@@ -66,6 +66,31 @@ ALL_CONFIGS = (
 )
 
 
+def _probe_devices(timeout=300):
+    """Bounded jax.devices() check in a subprocess.
+
+    When the axon TPU tunnel is down, any jax device lookup hangs
+    indefinitely in make_c_api_client (the sitecustomize hook re-pins
+    jax_platforms to "axon,cpu" in every process, so JAX_PLATFORMS=cpu
+    cannot dodge it).  Probing in a throwaway subprocess converts that
+    infinite hang into a bounded, self-describing failure.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device probe timed out after {timeout}s (TPU tunnel down?)"
+    if proc.returncode != 0:
+        return f"device probe failed: {proc.stderr.strip()[-200:]}"
+    return None
+
+
 def _run_all(args):
     """Run every benchmark config in its own subprocess, one at a time.
 
@@ -158,6 +183,17 @@ def main():
     )
     args = parser.parse_args()
 
+    import os
+
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    cpu_only = bool(env_platforms) and "axon" not in env_platforms
+    if not cpu_only and not os.environ.get("SMOL_TPU_SKIP_PROBE"):
+        err = _probe_devices()
+        if err:
+            print(json.dumps({"metric": "bench", "error": err}))
+            return 1
+        os.environ["SMOL_TPU_SKIP_PROBE"] = "1"  # inherited by --all children
+
     if args.all:
         return _run_all(args)
 
@@ -165,10 +201,7 @@ def main():
     # interpreter start (the axon sitecustomize does config.update, which
     # silently overrides the env var): re-apply the env value explicitly so
     # JAX_PLATFORMS=cpu smoke runs stay off a (possibly down) TPU tunnel.
-    import os
-
-    env_platforms = os.environ.get("JAX_PLATFORMS", "")
-    if env_platforms and "axon" not in env_platforms:
+    if cpu_only:
         import jax
 
         jax.config.update("jax_platforms", env_platforms)
