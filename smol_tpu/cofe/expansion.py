@@ -40,6 +40,22 @@ class RegressionData(MSONable):
             parameters=getattr(estimator, "get_params", dict)(),
         )
 
+    @classmethod
+    def from_object(cls, estimator, feature_matrix, property_vector, parameters=None):
+        """Create from any estimator class, instance, or function.
+
+        Like from_sklearn but for arbitrary fitting objects; parameters are
+        passed explicitly (reference expansion.py:43-72).
+        """
+        estimator_name = getattr(estimator, "__name__", type(estimator).__name__)
+        return cls(
+            module=estimator.__module__,
+            estimator_name=estimator_name,
+            feature_matrix=np.asarray(feature_matrix),
+            property_vector=np.asarray(property_vector),
+            parameters=parameters,
+        )
+
     def as_dict(self) -> dict:
         return {
             "@module": type(self).__module__,

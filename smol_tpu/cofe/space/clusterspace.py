@@ -42,7 +42,12 @@ from smol_tpu.utils.exceptions import (
     SymmetryError,
 )
 
-__all__ = ["ClusterSubspace", "PottsSubspace", "invert_mapping"]
+__all__ = [
+    "ClusterSubspace",
+    "PottsSubspace",
+    "invert_mapping",
+    "get_complete_mapping",
+]
 
 # per-supercell orbit site-index arrays (tuple of [n_clusters, size] int32)
 OrbitIndices = namedtuple("OrbitIndices", ["arrays"])
@@ -55,6 +60,29 @@ def invert_mapping(mapping) -> list:
         for j in vals:
             inverse[j].append(i)
     return inverse
+
+
+def get_complete_mapping(mapping) -> list:
+    """Transitive closure of a one-level forward mapping.
+
+    Each sublist is expanded with every index reachable through any number
+    of hops (reference clusterspace.py:1752-1790).  Useful for full
+    hierarchy linkages; not stored on ClusterSubspace since CE fits only
+    need the one-level mapping.
+    """
+    complete = [list(vals) for vals in mapping]
+    for i in range(len(mapping)):
+        frontier = list(mapping[i])
+        while frontier:
+            nxt = []
+            for j in frontier:
+                if j not in complete[i]:
+                    complete[i].append(j)
+                for k in mapping[j]:
+                    if k not in complete[i] and k not in nxt:
+                        nxt.append(k)
+            frontier = nxt
+    return complete
 
 
 class ClusterSubspace(MSONable):
@@ -437,6 +465,39 @@ class ClusterSubspace(MSONable):
 
     def supercell_orbit_mappings(self, scmatrix):
         return self.get_orbit_indices(scmatrix).arrays
+
+    @property
+    def evaluator(self):
+        """Host evaluator with the reference extension type's interface.
+
+        Bundles the packed flat orbit tensors (reference clusterspace.py:319
+        returns the Cython ClusterSpaceEvaluator; here it is the numpy
+        oracle in ops/ref.py — TPU hot paths use the packed device kernels
+        instead).  Rebuilt on access so orbit mutations are always reflected.
+        """
+        return refops.ClusterSpaceEvaluator(
+            refops.get_orbit_data(self.orbits),
+            self.num_orbits,
+            self.num_corr_functions,
+        )
+
+    def gen_orbit_list(self, scmatrix) -> list:
+        """Per-orbit evaluation tuples for a supercell.
+
+        [(bit_id, flat_tensor_indices, flat_correlation_tensors,
+        cluster_indices)] — the layout the legacy serial evaluators consume
+        (reference clusterspace.py:1265-1296).
+        """
+        mappings = self.supercell_orbit_mappings(scmatrix)
+        return [
+            (
+                orbit.bit_id,
+                orbit.flat_tensor_indices,
+                orbit.flat_correlation_tensors,
+                cluster_inds,
+            )
+            for orbit, cluster_inds in zip(self.orbits, mappings)
+        ]
 
     def _gen_orbit_indices(self, scmatrix) -> OrbitIndices:
         """Map every orbit cluster into supercell site indices.

@@ -285,6 +285,47 @@ class Composition(Mapping, MSONable):
             )
         )
 
+    @property
+    def formula(self) -> str:
+        """Element formula with amounts, e.g. 'Li1 Mn2 O4' (pymatgen parity).
+
+        Species charges are dropped and amounts of the same element merged.
+        """
+        by_element: dict = {}
+        for sp, amt in self._data.items():
+            symbol = getattr(sp, "symbol", str(sp))
+            by_element[symbol] = by_element.get(symbol, 0.0) + amt
+        return " ".join(
+            f"{symbol}{amt:g}" for symbol, amt in sorted(by_element.items())
+        )
+
+    @property
+    def reduced_formula(self) -> str:
+        """Formula with amounts scaled to smallest integers (when rational)."""
+        from fractions import Fraction
+        from math import gcd, lcm
+
+        by_element: dict = {}
+        for sp, amt in self._data.items():
+            symbol = getattr(sp, "symbol", str(sp))
+            by_element[symbol] = by_element.get(symbol, 0.0) + amt
+        fracs = [
+            Fraction(amt).limit_denominator(1000) for amt in by_element.values()
+        ]
+        mul = lcm(*(f.denominator for f in fracs)) if fracs else 1
+        ints = [int(f * mul) for f in fracs]
+        g = gcd(*ints) if any(ints) else 1
+        return " ".join(
+            f"{symbol}{n // g}" for symbol, n in zip(by_element, ints)
+        )
+
+    def get_atomic_fraction(self, sp) -> float:
+        """Fraction of the total occupancy held by a species."""
+        if not isinstance(sp, Species):
+            sp = get_species(sp)
+        total = self.num_atoms
+        return float(self._data.get(sp, 0.0)) / total if total else 0.0
+
     def __getitem__(self, item):
         if not isinstance(item, Species):
             item = get_species(item)

@@ -16,9 +16,119 @@ import numpy as np
 from smol_tpu.cofe.space.domain import Vacancy, get_species
 from smol_tpu.moca.occu_utils import get_dim_ids_by_sublattice
 
-__all__ = ["parse_constraint_string", "CompositionConstraintsManager"]
+__all__ = [
+    "parse_constraint_string",
+    "handle_side_string",
+    "convert_constraint_string",
+    "CompositionConstraintsManager",
+]
 
 _RELATIONS = ("==", "<=", ">=", "=")
+
+_NUM_RE = re.compile(r"^[+-]?\d+\.?\d*$")
+_SUBL_RE = re.compile(r"^([A-Za-z]+.*)\((\d+)\)$")
+
+
+def handle_side_string(side: str):
+    """Tokenize one side of a constraint equation.
+
+    Returns ``(packed, intercept)`` where packed is a list of
+    ``(coefficient, Species, sublattice_index_or_None)`` tuples — the
+    reference's public tokenizer interface
+    (smol/moca/composition/constraints.py:55-124).  Only a trailing bare
+    number (or sign) is an intercept.
+    """
+    literals = []
+    for tok in side.split():
+        if tok in ("+", "-"):
+            literals.append(tok)
+        elif _NUM_RE.match(tok):
+            num = float(tok)
+            literals.append(round(num) if np.isclose(num, round(num)) else num)
+        else:
+            match = _SUBL_RE.match(tok)
+            if match is not None:
+                literals.append((get_species(match.group(1)), int(match.group(2))))
+            else:
+                literals.append((get_species(tok), None))
+
+    intercept = 0
+    if literals:
+        last = literals[-1]
+        if isinstance(last, (int, float)):
+            sign, n_drop = 1, 1
+            if len(literals) >= 2 and literals[-2] in ("+", "-"):
+                sign = 1 if literals[-2] == "+" else -1
+                n_drop = 2
+            intercept = sign * last
+            literals = literals[:-n_drop]
+        elif last == "+":
+            intercept, literals = 1, literals[:-1]
+        elif last == "-":
+            intercept, literals = -1, literals[:-1]
+
+    packed = []
+    for i, lit in enumerate(literals):
+        if isinstance(lit, tuple):
+            coef, j = 1, i - 1
+            if j >= 0 and isinstance(literals[j], (int, float)):
+                coef = literals[j]
+                j -= 1
+            if j >= 0 and literals[j] == "-":
+                coef = -coef
+            packed.append((coef, *lit))
+    return packed, intercept
+
+
+def convert_constraint_string(entry, bits):
+    """Convert a constraint string to (vector, number, relation) counts form.
+
+    ``bits`` is the per-sublattice allowed-species lists (same ordering as
+    moca.composition).  Returns the left-side coefficient vector over counts
+    dimensions, the simplified right-side number, and the relation symbol —
+    the reference's public conversion interface
+    (smol/moca/composition/constraints.py:126-231).
+    """
+    entry = entry.strip()
+    sep = re.match(r"^(.*) ([<=>]?=) (.*)$", entry)
+    if sep is None:
+        raise ValueError(
+            f"Constraint {entry!r} must contain <=, >=, == or = wrapped by "
+            "single spaces."
+        )
+    left_string, relation, right_string = sep.groups()
+    bits = [list(sl.keys()) if hasattr(sl, "keys") else list(sl) for sl in bits]
+
+    left_pack, left_intercept = handle_side_string(left_string)
+    right_pack, right_intercept = handle_side_string(right_string)
+
+    n_dims = sum(len(species) for species in bits)
+    dim_ids = get_dim_ids_by_sublattice(bits)
+    left_vec = [0] * n_dims
+
+    def _accumulate(pack, factor):
+        for coef, spec, sl_id in pack:
+            if sl_id is not None:
+                if spec not in bits[sl_id]:
+                    raise ValueError(
+                        f"Species {spec} cannot be found in the specified "
+                        f"sub-lattice {sl_id}; its species are {bits[sl_id]}."
+                    )
+                left_vec[dim_ids[sl_id][bits[sl_id].index(spec)]] += factor * coef
+            else:
+                hits = 0
+                for species, sub_dim_ids in zip(bits, dim_ids):
+                    if spec in species:
+                        left_vec[sub_dim_ids[species.index(spec)]] += factor * coef
+                        hits += 1
+                if hits == 0:
+                    raise ValueError(
+                        f"Species {spec} cannot be found in any sub-lattice."
+                    )
+
+    _accumulate(left_pack, 1)
+    _accumulate(right_pack, -1)
+    return left_vec, right_intercept - left_intercept, relation
 
 
 def _species_dims(species_str, site_spaces, dim_ids):

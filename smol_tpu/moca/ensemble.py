@@ -21,13 +21,73 @@ from smol_tpu.moca.processor.expansion import (
 from smol_tpu.moca.sublattice import Sublattice
 from smol_tpu.serial import MSONable, jsanitize, process_decoded
 
-__all__ = ["Ensemble"]
+__all__ = ["ChemicalPotentialManager", "Ensemble"]
+
+
+class ChemicalPotentialManager:
+    """Descriptor managing an Ensemble's chemical potentials.
+
+    Mirrors the reference's descriptor (smol/moca/ensemble.py:22-99): setting
+    chemical potentials validates and species-maps the dict, builds the
+    per-(site, code) mu table, appends the -1 natural parameter for the
+    chemical-work feature, and records the values in ``thermo_boundaries``;
+    setting ``None`` removes all of that again.
+    """
+
+    natural_parameter: float = -1.0
+
+    def __set_name__(self, owner, name):
+        self.private_name = "_" + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        data = getattr(obj, self.private_name, None)
+        return None if data is None else data["value"]
+
+    def __set__(self, obj, value):
+        if value is None:
+            if getattr(obj, self.private_name, None) is not None:
+                setattr(obj, self.private_name, None)
+                obj.thermo_boundaries.pop("chemical_potentials", None)
+                if obj.num_energy_coefs < len(obj._params):
+                    obj._params = obj._params[:-1]
+            return
+        value = {get_species(k): v for k, v in value.items()}
+        value = {k: v for k, v in value.items() if k in obj.species}
+        if set(value.keys()) != set(obj.species):
+            raise ValueError(
+                "Chemical potentials are missing species; need values for "
+                f"each of: {obj.species}"
+            )
+        if getattr(obj, self.private_name, None) is None:
+            obj._params = np.append(obj._params, self.natural_parameter)
+        setattr(
+            obj,
+            self.private_name,
+            {"value": value, "table": self._build_mu_table(obj, value)},
+        )
+        obj.thermo_boundaries["chemical_potentials"] = {
+            str(k): v for k, v in value.items()
+        }
+
+    @staticmethod
+    def _build_mu_table(obj, value) -> np.ndarray:
+        """[num_sites, max_code+1] f64 per-(site, code) chemical potentials."""
+        num_cols = max(max(sl.encoding) for sl in obj.sublattices) + 1
+        table = np.zeros((obj.num_sites, num_cols))
+        for sublatt in obj.active_sublattices:
+            ordered = [value[sp] for sp in sublatt.site_space]
+            table[sublatt.sites[:, None], sublatt.encoding] = ordered
+        return table
 
 
 class Ensemble(MSONable):
     """A thermodynamic ensemble over a fixed supercell."""
 
     natural_parameter: float = -1.0  # for the chemical work feature
+
+    chemical_potentials = ChemicalPotentialManager()
 
     def __init__(self, processor, sublattices=None, chemical_potentials=None):
         if sublattices is None:
@@ -139,51 +199,11 @@ class Ensemble(MSONable):
         return self._params
 
     @property
-    def chemical_potentials(self):
-        if self._chemical_potentials is None:
-            return None
-        return self._chemical_potentials["value"]
-
-    @chemical_potentials.setter
-    def chemical_potentials(self, value):
-        if value is None:
-            if self._chemical_potentials is not None:
-                self._chemical_potentials = None
-                self.thermo_boundaries.pop("chemical_potentials", None)
-                if self.num_energy_coefs < len(self._params):
-                    self._params = self._params[:-1]
-            return
-        value = {get_species(k): v for k, v in value.items()}
-        value = {k: v for k, v in value.items() if k in self.species}
-        if set(value.keys()) != set(self.species):
-            raise ValueError(
-                "Chemical potentials are missing species; need values for "
-                f"each of: {self.species}"
-            )
-        if self._chemical_potentials is None:
-            self._params = np.append(self._params, self.natural_parameter)
-        self._chemical_potentials = {
-            "value": value,
-            "table": self._build_mu_table(value),
-        }
-        self.thermo_boundaries["chemical_potentials"] = {
-            str(k): v for k, v in value.items()
-        }
-
-    @property
     def chemical_potential_table(self):
         """[num_sites, max_code+1] f64 per-(site, code) chemical potentials."""
         if self._chemical_potentials is None:
             return None
         return self._chemical_potentials["table"]
-
-    def _build_mu_table(self, value) -> np.ndarray:
-        num_cols = max(max(sl.encoding) for sl in self.sublattices) + 1
-        table = np.zeros((self.num_sites, num_cols))
-        for sublatt in self.active_sublattices:
-            ordered = [value[sp] for sp in sublatt.site_space]
-            table[sublatt.sites[:, None], sublatt.encoding] = ordered
-        return table
 
     # ---------------- feature evaluation (host) ----------------
 

@@ -1,6 +1,11 @@
 """MC kernels, ushers and biases."""
 
-from smol_tpu.moca.kernel.base import MCKernel, ThermalKernelMixin
+from smol_tpu.moca.kernel.base import (
+    MCKernel,
+    MCKernelInterface,
+    StandardSingleStepMixin,
+    ThermalKernelMixin,
+)
 from smol_tpu.moca.kernel.bias import (
     FugacityBias,
     MCBias,
@@ -24,6 +29,8 @@ from smol_tpu.utils.class_utils import class_name_from_str, derived_class_factor
 
 __all__ = [
     "MCKernel",
+    "MCKernelInterface",
+    "StandardSingleStepMixin",
     "ThermalKernelMixin",
     "Metropolis",
     "UniformlyRandom",

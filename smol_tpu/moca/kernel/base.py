@@ -26,7 +26,14 @@ from smol_tpu.moca.trace import StepTrace, Trace
 from smol_tpu.ops import mc as devmc
 from smol_tpu.utils.class_utils import class_name_from_str, get_subclasses
 
-__all__ = ["MCKernel", "ThermalKernelMixin", "ALL_MCUSHERS", "ALL_BIAS"]
+__all__ = [
+    "MCKernelInterface",
+    "StandardSingleStepMixin",
+    "MCKernel",
+    "ThermalKernelMixin",
+    "ALL_MCUSHERS",
+    "ALL_BIAS",
+]
 
 
 def _sum_log_priori(fns, occu, sites, codes, valid):
@@ -61,7 +68,86 @@ ALL_MCUSHERS = staticmethod(_all_mcushers)
 ALL_BIAS = staticmethod(_all_bias)
 
 
-class MCKernel(ABC):
+class MCKernelInterface(ABC):
+    """The contract every MC kernel satisfies.
+
+    Mirrors the reference interface (smol/moca/kernel/base.py:20-80): a
+    kernel exposes a ``trace`` of the last step, a reproducibility ``spec``,
+    ``single_step``, ``compute_initial_trace``, and ``set_aux_state``.
+    Implement this directly for kernels that do not follow the standard
+    propose/accept decomposition (e.g. MulticellKernel).
+    """
+
+    @property
+    def trace(self):
+        """StepTrace of the last single_step."""
+        return self._trace
+
+    @property
+    def spec(self):
+        """Metadata specification for reproducibility."""
+        return self._spec
+
+    @abstractmethod
+    def single_step(self, occupancy):
+        """Run one MC step on one occupancy; return the step trace."""
+
+    @abstractmethod
+    def compute_initial_trace(self, occupancy):
+        """Absolute-value trace of an occupancy (for sample containers)."""
+
+    def set_aux_state(self, occupancy, *args, **kwargs):
+        """Set auxiliary state from an initial or checkpoint occupancy."""
+
+
+class StandardSingleStepMixin:
+    """The standard propose -> trace -> accept -> apply -> post step.
+
+    Factors the reference's single-step decomposition
+    (smol/moca/kernel/base.py:145-166): subclasses supply ``_accept_step``;
+    ``_do_post_step`` is a hook (Wang-Landau uses it for histogram updates).
+    Requires the host attributes ``mcusher``, ``_trace``, ``_ensemble``,
+    ``natural_params``, and optional ``_bias``.
+    """
+
+    def _compute_step_trace(self, occupancy, step):
+        delta_trace = self._trace.delta_trace
+        delta_trace.features = self._ensemble.compute_feature_vector_change(
+            occupancy, step
+        )
+        delta_trace.enthalpy = np.array(
+            np.dot(self.natural_params, delta_trace.features), dtype=np.float64
+        )
+        if self._bias is not None:
+            delta_trace.bias = np.array(
+                self._bias.compute_bias_change(occupancy, step), dtype=np.float64
+            )
+
+    @abstractmethod
+    def _accept_step(self, occupancy, step) -> bool:
+        """Accept/reject the step based on the current delta trace."""
+
+    def _do_accept_step(self, occupancy, step):
+        for site, code in step:
+            occupancy[site] = code
+        self.mcusher.update_aux_state(step)
+        return occupancy
+
+    def _do_post_step(self):
+        return
+
+    def single_step(self, occupancy):
+        """One MC step on one occupancy (modified in place)."""
+        step = self.mcusher.propose_step(occupancy)
+        self._compute_step_trace(occupancy, step)
+        if self._accept_step(occupancy, step):
+            occupancy = self._do_accept_step(occupancy, step)
+        self._trace.occupancy = occupancy
+        self._do_post_step()
+        return self._trace
+
+
+class MCKernel(StandardSingleStepMixin, MCKernelInterface):
     """Abstract MC transition kernel."""
 
     valid_mcushers = None
@@ -149,42 +235,6 @@ class MCKernel(ABC):
     def set_aux_state(self, occupancy, *args, **kwargs):
         """Set auxiliary state from an initial or checkpoint occupancy."""
         self.mcusher.set_aux_state(occupancy, *args, **kwargs)
-
-    def _compute_step_trace(self, occupancy, step):
-        delta_trace = self._trace.delta_trace
-        delta_trace.features = self._ensemble.compute_feature_vector_change(
-            occupancy, step
-        )
-        delta_trace.enthalpy = np.array(
-            np.dot(self.natural_params, delta_trace.features), dtype=np.float64
-        )
-        if self._bias is not None:
-            delta_trace.bias = np.array(
-                self._bias.compute_bias_change(occupancy, step), dtype=np.float64
-            )
-
-    @abstractmethod
-    def _accept_step(self, occupancy, step) -> bool:
-        """Accept/reject the step based on the current delta trace."""
-
-    def _do_accept_step(self, occupancy, step):
-        for site, code in step:
-            occupancy[site] = code
-        self.mcusher.update_aux_state(step)
-        return occupancy
-
-    def _do_post_step(self):
-        return
-
-    def single_step(self, occupancy):
-        """One MC step on one occupancy (modified in place)."""
-        step = self.mcusher.propose_step(occupancy)
-        self._compute_step_trace(occupancy, step)
-        if self._accept_step(occupancy, step):
-            occupancy = self._do_accept_step(occupancy, step)
-        self._trace.occupancy = occupancy
-        self._do_post_step()
-        return self._trace
 
     def compute_initial_trace(self, occupancy) -> Trace:
         """Absolute-value trace of an occupancy (for sample containers)."""

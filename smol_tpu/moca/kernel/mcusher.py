@@ -224,6 +224,11 @@ class Composite(MCUsher):
         return self._mcushers
 
     @property
+    def weight(self):
+        """Weights associated with each mcusher (reference mcusher.py:368)."""
+        return self._weights
+
+    @property
     def probabilities(self):
         total = sum(self._weights)
         return [w / total for w in self._weights]

@@ -20,12 +20,13 @@ import secrets
 import numpy as np
 
 from smol_tpu.constants import kB
+from smol_tpu.moca.kernel.base import MCKernelInterface
 from smol_tpu.moca.metadata import Metadata
 
 __all__ = ["MulticellKernel", "MulticellMetropolis"]
 
 
-class MulticellKernel:
+class MulticellKernel(MCKernelInterface):
     """Hop among a list of same-size kernels (host implementation)."""
 
     valid_mcushers = None

@@ -75,6 +75,10 @@ def delta_counts_from_step(occu, step, n_dims, dim_ids_table) -> np.ndarray:
     table = np.asarray(dim_ids_table, dtype=int)
     delta_n = np.zeros(n_dims, dtype=int)
     for site, code in step:
+        if not 0 <= code < table.shape[1]:
+            raise ValueError(
+                f"Impossible code {code} at site {site} in step {step}!"
+            )
         dim_ori = table[site, occu_now[site]]
         dim_nex = table[site, code]
         if dim_ori < 0 or dim_nex < 0:

@@ -74,6 +74,17 @@ class Processor(MSONable, metaclass=ABCMeta):
     def compute_feature_vector_change(self, occupancy, flips) -> np.ndarray:
         """Feature-vector change from a list of (site, new_code) flips."""
 
+    def compute_feature_vector_distance_change(self, feature_vector, occupancy, flips):
+        """Change in |f - feature_vector| (L1 elementwise) from a flip list.
+
+        Declared on the base for interface parity with the reference
+        (smol/moca/processor/base.py:143-165); implemented by the distance
+        processors (processor/distance.py).
+        """
+        raise NotImplementedError(
+            "This processor can not be used to compute feature vector distances."
+        )
+
     def compute_property(self, occupancy) -> float:
         return float(np.dot(self.coefs, self.compute_feature_vector(occupancy)))
 

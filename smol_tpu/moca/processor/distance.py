@@ -27,7 +27,11 @@ from smol_tpu.moca.processor.expansion import (
 )
 from smol_tpu.serial import process_decoded
 
-__all__ = ["CorrelationDistanceProcessor", "ClusterInteractionDistanceProcessor"]
+__all__ = [
+    "DistanceProcessor",
+    "CorrelationDistanceProcessor",
+    "ClusterInteractionDistanceProcessor",
+]
 
 
 @lru_cache(maxsize=None)
@@ -63,8 +67,13 @@ def _distance_delta_features(feat_fn, occu, site, code, data):
     return feat_fn(occu_f, data) - feat_fn(occu, data)
 
 
-class _DistanceMixin:
-    """Distance-from-target behavior over an underlying feature processor."""
+class DistanceProcessor:
+    """Distance-from-target behavior over an underlying feature processor.
+
+    The public base of all distance processors (reference
+    smol/moca/processor/distance.py:20-209); mixed over a concrete feature
+    processor by the subclasses below.
+    """
 
     # the L1-distance "energy" is not expressible as local energy tables
     fast_path_ok = False
@@ -126,6 +135,28 @@ class _DistanceMixin:
         dist_i[0] = dist_f[0] = 0.0
         return np.stack([dist_i, dist_f])
 
+    def compute_feature_vector_distance_change(
+        self, feature_vector, occupancy, flips
+    ) -> np.ndarray:
+        """Change in |f - feature_vector| (elementwise L1) from a flip list.
+
+        Like compute_feature_vector_change but against an arbitrary fixed
+        vector instead of the stored target (the base-class interface the
+        reference declares at smol/moca/processor/base.py:143).
+        """
+        occupancy = np.asarray(occupancy, dtype=np.int32)
+        occu_f = occupancy.copy()
+        for site, code in flips:
+            occu_f[site] = code
+        feature_vector = np.asarray(feature_vector, dtype=np.float64)
+        dist_i = np.abs(
+            self._base_feature_vector(occupancy) / self.size - feature_vector
+        )
+        dist_f = np.abs(
+            self._base_feature_vector(occu_f) / self.size - feature_vector
+        )
+        return dist_f - dist_i
+
     def compute_feature_vector_change(self, occupancy, flips) -> np.ndarray:
         distances = self.compute_feature_vector_distances(occupancy, flips)
         if self.coefs[0] != 0:
@@ -179,7 +210,7 @@ class _DistanceMixin:
         return d
 
 
-class CorrelationDistanceProcessor(_DistanceMixin, ClusterExpansionProcessor):
+class CorrelationDistanceProcessor(DistanceProcessor, ClusterExpansionProcessor):
     """Distance from a target correlation vector."""
 
     def __init__(
@@ -232,7 +263,7 @@ class CorrelationDistanceProcessor(_DistanceMixin, ClusterExpansionProcessor):
 
 
 class ClusterInteractionDistanceProcessor(
-    _DistanceMixin, ClusterDecompositionProcessor
+    DistanceProcessor, ClusterDecompositionProcessor
 ):
     """Distance from a target cluster-interaction vector."""
 

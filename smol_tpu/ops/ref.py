@@ -132,6 +132,166 @@ def interaction_distances_from_occupancies(
     return out
 
 
+class ClusterSpaceEvaluator:
+    """Host evaluator object bundling packed orbit data.
+
+    API-parity counterpart of the reference's Cython extension type
+    (smol/utils/cluster/evaluator.pyx:22): holds the flat orbit tensors and
+    exposes the six evaluation methods; per-supercell cluster indices are
+    passed per call.  ``ClusterSubspace.evaluator`` returns an instance.
+    The TPU hot paths do NOT go through this object — they use the packed
+    device kernels (ops/correlations.py, ops/pallas_chain.py); this is the
+    host-side oracle with the reference's interface.
+    """
+
+    def __init__(self, orbit_data, num_orbits, num_corr_functions):
+        self.reset_data(orbit_data, num_orbits, num_corr_functions)
+        self._interactions = None
+        self._offset = 0.0
+
+    def reset_data(self, orbit_data, num_orbits, num_corr_functions):
+        """Replace the orbit data (evaluator.pyx:80)."""
+        self.orbit_data = tuple(orbit_data)
+        self.num_orbits = int(num_orbits)
+        self.num_corr_functions = int(num_corr_functions)
+
+    def set_cluster_interactions(self, cluster_interactions, offset):
+        """Attach per-orbit interaction tensors (evaluator.pyx:103)."""
+        self._interactions = tuple(
+            np.asarray(t, dtype=np.float64) for t in cluster_interactions
+        )
+        self._offset = float(offset)
+
+    @property
+    def cluster_interactions(self):
+        return self._interactions
+
+    @property
+    def offset(self):
+        return self._offset
+
+    def correlations_from_occupancy(self, occupancy, cluster_indices):
+        return corr_from_occupancy(
+            occupancy, self.orbit_data, cluster_indices, self.num_corr_functions
+        )
+
+    def interactions_from_occupancy(self, occupancy, cluster_indices):
+        return interactions_from_occupancy(
+            occupancy, self.orbit_data, self._interactions, self._offset,
+            cluster_indices, self.num_orbits,
+        )
+
+    def delta_correlations_from_occupancies(
+        self, occu_f, occu_i, cluster_ratio, cluster_indices
+    ):
+        return delta_corr_from_occupancies(
+            occu_f, occu_i, cluster_ratio, self.orbit_data, cluster_indices,
+            self.num_corr_functions,
+        )
+
+    def delta_interactions_from_occupancies(
+        self, occu_f, occu_i, cluster_ratio, cluster_indices
+    ):
+        return delta_interactions_from_occupancies(
+            occu_f, occu_i, cluster_ratio, self.orbit_data, self._interactions,
+            cluster_indices, self.num_orbits,
+        )
+
+    def corr_distances_from_occupancies(
+        self, occu_f, occu_i, ref_corr_vector, cluster_indices
+    ):
+        return corr_distances_from_occupancies(
+            occu_f, occu_i, ref_corr_vector, self.orbit_data, cluster_indices,
+            self.num_corr_functions,
+        )
+
+    def interaction_distances_from_occupancies(
+        self, occu_f, occu_i, ref_interaction_vector, cluster_indices
+    ):
+        return interaction_distances_from_occupancies(
+            occu_f, occu_i, ref_interaction_vector, self.orbit_data,
+            self._interactions, self._offset, cluster_indices, self.num_orbits,
+        )
+
+
+# --- legacy serial-loop API (reference smol/utils/cluster/correlations.pyx) --
+
+
+def delta_corr_single_flip(occu_f, occu_i, num_corr_functions, site_orbit_list):
+    """Correlation difference from one flip over site-local orbit data.
+
+    site_orbit_list entries: (bit_id, cluster_ratio, flat_tensor_indices,
+    flat_correlation_tensors, cluster_indices) for orbits containing the
+    flipped site (reference correlations.pyx:61-107).
+    """
+    occu_f = np.asarray(occu_f, dtype=np.int32)
+    occu_i = np.asarray(occu_i, dtype=np.int32)
+    out = np.zeros(num_corr_functions, dtype=np.float64)
+    for bit_id, ratio, strides, tensors, inds in site_orbit_list:
+        tidx_f = occu_f[inds] @ strides
+        tidx_i = occu_i[inds] @ strides
+        denom = ratio * len(inds)
+        for k in range(tensors.shape[0]):
+            out[bit_id + k] = (tensors[k, tidx_f] - tensors[k, tidx_i]).sum() / denom
+    return out
+
+
+def delta_interactions_single_flip(occu_f, occu_i, num_interactions, site_orbit_list):
+    """Cluster-interaction difference from one flip (correlations.pyx:209-251).
+
+    site_orbit_list entries: (orbit_id, cluster_ratio, flat_tensor_indices,
+    flat_interaction_tensor, cluster_indices).
+    """
+    occu_f = np.asarray(occu_f, dtype=np.int32)
+    occu_i = np.asarray(occu_i, dtype=np.int32)
+    out = np.zeros(num_interactions, dtype=np.float64)
+    for oid, ratio, strides, inter, inds in site_orbit_list:
+        tidx_f = occu_f[inds] @ strides
+        tidx_i = occu_i[inds] @ strides
+        out[oid] = (inter[tidx_f] - inter[tidx_i]).sum() / (ratio * len(inds))
+    return out
+
+
+def corr_distance_single_flip(
+    occu_f, occu_i, ref_corr_vector, num_corr_functions, orbit_list
+):
+    """|corr - ref| pair for occupancies differing by one flip.
+
+    orbit_list entries: (bit_id, flat_tensor_indices,
+    flat_correlation_tensors, cluster_indices) over ALL orbits — scales like
+    a full evaluation (reference correlations.pyx:108-163).
+    """
+    orbit_data = tuple(
+        (None, bit_id, tensors, strides)
+        for bit_id, strides, tensors, _ in orbit_list
+    )
+    cluster_indices = tuple(inds for *_, inds in orbit_list)
+    return corr_distances_from_occupancies(
+        occu_f, occu_i, ref_corr_vector, orbit_data, cluster_indices,
+        num_corr_functions,
+    )
+
+
+def interaction_distance_single_flip(
+    occu_f, occu_i, ref_interaction_vector, num_interactions, orbit_list
+):
+    """|interactions - ref| pair analog (reference correlations.pyx:252-307).
+
+    orbit_list entries: (orbit_id, flat_tensor_indices,
+    flat_interaction_tensor, cluster_indices); the empty-orbit offset is
+    taken from ref_interaction_vector[0] by convention.
+    """
+    orbit_data = tuple(
+        (oid, None, None, strides) for oid, strides, _, _ in orbit_list
+    )
+    interaction_tensors = tuple(inter for _, _, inter, _ in orbit_list)
+    cluster_indices = tuple(inds for *_, inds in orbit_list)
+    return interaction_distances_from_occupancies(
+        occu_f, occu_i, ref_interaction_vector, orbit_data, interaction_tensors,
+        0.0, cluster_indices, num_interactions,
+    )
+
+
 def delta_ewald_single_flip(occu_f, occu_i, ewald_matrix, ewald_indices, site_ind):
     """O(n) Ewald energy difference for one site flip (ewald.pyx:9).
 
