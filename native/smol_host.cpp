@@ -84,4 +84,24 @@ void ewald_real_sums(const double* coords, int64_t n,
     }
 }
 
+// Host OpenMP thread-count control (reference smol/utils/_openmp_helpers.pyx):
+// smol_tpu device kernels are unaffected; these knobs govern only the
+// OpenMP loops in this library.
+int64_t smol_get_max_threads() {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+void smol_set_num_threads(int64_t n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads((int)n);
+#else
+    (void)n;
+#endif
+}
+
 }  // extern "C"
+

@@ -292,9 +292,46 @@ class StochasticSQSGenerator(SQSGenerator):
         self._step_type = step_type
         self._temperature = temperature
         self._kernel_kwargs = kernel_kwargs or {}
+        self._sampler = None
         # chain kernels memoized per (shape, steps): rebuilding makes a
         # fresh closure, which would retrace/recompile on every generate()
         self._chain_fns = {}
+
+    @property
+    def sampler(self):
+        """A Sampler over a MulticellMetropolis kernel of the per-shape
+        distance processors (reference sqs.py:526-546).
+
+        ``generate()`` drives per-shape device chain kernels directly for
+        throughput; this sampler exposes the equivalent reference kernel
+        stack — kB = 1 unitless-temperature Metropolis per supercell shape
+        under a multicell hop kernel — runnable through the host sampling
+        path (``Sampler.run``/``anneal``) for inspection and
+        interoperability.
+        """
+        if self._sampler is None:
+            from smol_tpu.moca.ensemble import Ensemble
+            from smol_tpu.moca.kernel.metropolis import Metropolis
+            from smol_tpu.moca.kernel.multicell import MulticellMetropolis
+            from smol_tpu.moca.sampler.sampler import Sampler
+
+            kernels = []
+            for proc in self._processors:
+                kernel = Metropolis(
+                    Ensemble(proc),
+                    self._step_type,
+                    temperature=self._temperature,
+                    **self._kernel_kwargs,
+                )
+                kernel.kB = 1.0  # unitless annealing temperatures
+                kernels.append(kernel)
+            multicell = MulticellMetropolis(kernels, temperature=self._temperature)
+            multicell.kB = 1.0
+            container = Sampler._empty_container(
+                kernels[0].ensemble, multicell, 1
+            )
+            self._sampler = Sampler(multicell, container, nwalkers=1)
+        return self._sampler
 
     def _chain_anneal_fn(self, processor, mcmc_steps):
         """Distance-chain Pallas kernel annealing fn, or None.

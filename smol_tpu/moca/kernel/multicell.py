@@ -260,6 +260,19 @@ class MulticellMetropolis(MulticellKernel):
 
     @property
     def temperature(self):
+        """Hop temperature; setting it also retunes every sub-kernel
+        (reference kernel/base.py:560-572)."""
+        return self._temperature
+
+    @temperature.setter
+    def temperature(self, temperature):
+        self._temperature = temperature
+        self.beta = 1.0 / (self._kB * temperature)
+        for kernel in self._kernels:
+            kernel.temperature = temperature
+
+    @property
+    def temperature(self):
         return self._temperature
 
     @temperature.setter

@@ -209,6 +209,26 @@ class DistanceProcessor:
         d["match_tol"] = self.match_tol
         return d
 
+    @classmethod
+    def from_dict(cls, d):
+        """Polymorphic deserialization via the subclass registry
+        (reference distance.py:186-208)."""
+        from smol_tpu.utils.class_utils import get_subclasses
+
+        if type(d) is not dict or "@class" not in d:
+            raise ValueError("Expected an as_dict() record with an @class key.")
+        try:
+            subclass = get_subclasses(DistanceProcessor)[d["@class"]]
+        except KeyError as err:
+            raise NameError(
+                f"{d['@class']} is not a DistanceProcessor subclass."
+            ) from err
+        if subclass.from_dict.__func__ is DistanceProcessor.from_dict.__func__:
+            raise NotImplementedError(
+                f"{subclass.__name__} does not implement from_dict."
+            )
+        return subclass.from_dict(d)
+
 
 class CorrelationDistanceProcessor(DistanceProcessor, ClusterExpansionProcessor):
     """Distance from a target correlation vector."""

@@ -10,6 +10,7 @@ the cheapest local update.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
@@ -20,7 +21,29 @@ from smol_tpu.ops import correlations as dev
 from smol_tpu.ops.packing import pack_interactions, pack_supercell
 from smol_tpu.serial import process_decoded
 
-__all__ = ["ClusterExpansionProcessor", "ClusterDecompositionProcessor"]
+__all__ = [
+    "ClusterExpansionProcessor",
+    "ClusterDecompositionProcessor",
+    "LocalEvalData",
+]
+
+
+@dataclass
+class LocalEvalData:
+    """Per-site local-update data (reference expansion.py:24-36).
+
+    The reference holds one reduced Cython evaluator per site; the TPU
+    design keeps every site's local cluster table in one padded device
+    array (PackedSupercell.local_clusters) consumed by the delta kernels.
+    This dataclass exposes the same per-site information as host views for
+    inspection: the clusters containing the site and, per orbit touching
+    it, the total/in-site cluster-count ratio that normalizes delta
+    correlations (reference evaluator.pyx:262).
+    """
+
+    site_index: int
+    cluster_indices: np.ndarray  # clusters containing the site
+    cluster_ratio: dict  # orbit id -> total clusters / clusters at site
 
 
 # Module-level device functions with data bound via jax.tree_util.Partial:
@@ -99,6 +122,23 @@ class _PackedProcessor(Processor):
     def packed(self):
         """The PackedSupercell (host arrays)."""
         return self._packed
+
+    def get_local_eval_data(self, site_index: int) -> LocalEvalData:
+        """Local-update data of one site from the packed tables."""
+        row = self._packed.local_clusters[int(site_index)]
+        clusters = row[row >= 0]
+        orbit_ids, local_counts = np.unique(
+            self._packed.cluster_orbit[clusters], return_counts=True
+        )
+        ratio = {
+            int(o): float(self._packed.orbit_cluster_count[o]) / int(n)
+            for o, n in zip(orbit_ids, local_counts)
+        }
+        return LocalEvalData(
+            site_index=int(site_index),
+            cluster_indices=np.asarray(clusters, dtype=np.int32),
+            cluster_ratio=ratio,
+        )
 
     def repad_local_tables(self, lmax=None, lpmax=None):
         """Re-pad the per-site local tables to the given widths (-1 fill).

@@ -108,6 +108,8 @@ class Sampler:
         }
         if hasattr(kernel, "temperature"):
             trace_arrays["temperature"] = np.empty((0, nwalkers), dtype=np.float64)
+        if hasattr(kernel, "current_kernel"):  # MulticellKernel host sampling
+            trace_arrays["kernel_index"] = np.empty((0, nwalkers), dtype=int)
         if type(kernel).__name__ == "WangLandau":
             nlev = len(kernel._levels)
             trace_arrays.update(
@@ -275,6 +277,16 @@ class Sampler:
 
         from smol_tpu.ops.mc import run_chain
 
+        if not hasattr(self._kernel, "make_step_fn"):
+            # host-only kernels (e.g. MulticellKernel) take the reference's
+            # per-flip Python loop instead of the device lax.scan path
+            if stream_chunk > 0 or profile_dir is not None:
+                raise ValueError(
+                    "Host-kernel sampling supports neither HDF5 streaming "
+                    "nor profiling; run without stream_chunk/profile_dir."
+                )
+            return self._run_host(nsteps, initial_occupancies, thin_by, progress)
+
         if nsteps % thin_by != 0:
             warn(
                 f"nsteps {nsteps} is not a multiple of thin_by {thin_by}; "
@@ -396,6 +408,99 @@ class Sampler:
             backend.close()
             if not keep_last_chunk:
                 self.clear_samples()
+
+    def _run_host(self, nsteps, initial_occupancies=None, thin_by=1, progress=False):
+        """Sample a host kernel with the reference's per-step loop.
+
+        Mirrors the reference Sampler.sample accumulation (reference
+        sampler.py:164-210): per walker, per step, call
+        ``kernel.single_step`` and fold accepted delta traces into absolute
+        features/enthalpy.  Used for kernels with no device step function
+        (MulticellKernel hops depend on host-held per-kernel state); the
+        device ``lax.scan`` path is orders of magnitude faster and remains
+        the default for every device kernel.
+        """
+        import time as _time
+
+        kernel = self._kernel
+        if nsteps % thin_by != 0:
+            warn(
+                f"nsteps {nsteps} is not a multiple of thin_by {thin_by}; "
+                f"the last {nsteps % thin_by} steps are ignored.",
+                RuntimeWarning,
+            )
+        if initial_occupancies is None:
+            try:
+                initial_occupancies = self._container.get_occupancies(flat=False)[-1]
+            except IndexError as err:
+                raise RuntimeError(
+                    "No saved samples to take initial occupancies from; "
+                    "they must be provided."
+                ) from err
+        occupancies = np.atleast_2d(
+            np.asarray(initial_occupancies, dtype=np.int32)
+        ).copy()
+        if occupancies.shape[0] != self._nwalkers:
+            raise AttributeError(
+                f"Initial occupancies have {occupancies.shape[0]} walkers; "
+                f"expected {self._nwalkers}."
+            )
+        nwalkers = occupancies.shape[0]
+        multicell = hasattr(kernel, "current_kernel")
+        if multicell and nwalkers != 1:
+            raise ValueError(
+                "Host multicell sampling supports a single walker (the hop "
+                "state lives on the kernel)."
+            )
+        if multicell:
+            kernel.set_aux_state(occupancies[0])
+
+        feats = np.zeros((nwalkers, len(kernel.natural_params)))
+        enth = np.zeros(nwalkers)
+        for w in range(nwalkers):
+            trace0 = kernel.compute_initial_trace(occupancies[w])
+            feats[w] = np.asarray(trace0.features, dtype=np.float64).reshape(-1)
+            enth[w] = float(np.asarray(trace0.enthalpy).reshape(-1)[0])
+
+        nsamples = nsteps // thin_by
+        batch = {
+            name: np.zeros((nsamples,) + arr.shape[1:], arr.dtype)
+            for name, arr in self._container._trace.items()
+        }
+        t0 = _time.perf_counter()
+        for s in range(nsamples):
+            accepted_ct = np.zeros(nwalkers)
+            last_acc = np.zeros(nwalkers, dtype=bool)
+            for _ in range(thin_by):
+                for w in range(nwalkers):
+                    trace = kernel.single_step(occupancies[w])
+                    acc = bool(np.asarray(trace.accepted))
+                    if acc:
+                        feats[w] += np.asarray(
+                            trace.delta_trace.features, dtype=np.float64
+                        ).reshape(-1)
+                        enth[w] += float(
+                            np.asarray(trace.delta_trace.enthalpy).reshape(-1)[0]
+                        )
+                    accepted_ct[w] += acc
+                    last_acc[w] = acc
+            batch["occupancy"][s] = occupancies
+            batch["features"][s] = feats
+            batch["enthalpy"][s] = enth
+            batch["accepted"][s] = last_acc
+            batch["accept_rate"][s] = accepted_ct / thin_by
+            if "temperature" in batch:
+                batch["temperature"][s] = kernel.temperature
+            if "kernel_index" in batch:
+                batch["kernel_index"][s] = kernel._current_kernel_index
+        self._container.save_sampled_traces(Trace(**batch), thinned_by=thin_by)
+        if progress:
+            elapsed = _time.perf_counter() - t0
+            attempts = nsamples * thin_by * nwalkers
+            print(
+                f"host-sampled {nsamples} samples (x{thin_by} steps, "
+                f"{attempts / max(elapsed, 1e-9):.0f} attempts/s)"
+            )
 
     def sample(self, nsteps, initial_occupancies, thin_by=1, progress=False):
         """Generator yielding a host Trace every thin_by steps.

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from smol_tpu.utils.numthreads import SetNumThreads
+
 
 def get_orbit_data(orbits) -> tuple:
     """Pack orbits into the flat-tensor tuples the evaluators consume."""
@@ -144,10 +146,18 @@ class ClusterSpaceEvaluator:
     host-side oracle with the reference's interface.
     """
 
+    num_threads = SetNumThreads("host_kernels")
+
     def __init__(self, orbit_data, num_orbits, num_corr_functions):
+        from smol_tpu.utils.numthreads import HostKernels
+
         self.reset_data(orbit_data, num_orbits, num_corr_functions)
         self._interactions = None
         self._offset = 0.0
+        # the reference evaluator carries the OpenMP thread knob
+        # (evaluator.pyx + numthreads.py); here it tunes the native host
+        # library — the numpy oracle itself is single-threaded
+        self.host_kernels = HostKernels()
 
     def reset_data(self, orbit_data, num_orbits, num_corr_functions):
         """Replace the orbit data (evaluator.pyx:80)."""

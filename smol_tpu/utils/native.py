@@ -74,6 +74,10 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.smol_get_max_threads.restype = ctypes.c_int64
+    lib.smol_get_max_threads.argtypes = []
+    lib.smol_set_num_threads.restype = None
+    lib.smol_set_num_threads.argtypes = [ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -81,6 +85,22 @@ def _build_and_load():
 def available() -> bool:
     """True when the native library is built and loadable."""
     return _build_and_load() is not None
+
+
+def get_max_threads() -> int:
+    """Maximum host OpenMP threads (1 without OpenMP; cpu_count fallback)."""
+    lib = _build_and_load()
+    if lib is None:
+        return os.cpu_count() or 1
+    return int(lib.smol_get_max_threads())
+
+
+def set_num_threads(n: int) -> None:
+    """Set the host OpenMP thread count for the native kernels (no-op
+    without the library; TPU device kernels are unaffected)."""
+    lib = _build_and_load()
+    if lib is not None and n > 0:
+        lib.smol_set_num_threads(int(n))
 
 
 def _dptr(arr):

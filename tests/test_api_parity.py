@@ -218,3 +218,111 @@ def test_regression_data_from_object():
     # and the dict round-trips through JSON
     loaded = RegressionData.from_dict(json.loads(json.dumps(data.as_dict())))
     assert loaded.estimator_name == "my_fit"
+
+
+# ---------------- round-3 parity tail: host kernels & knobs ----------------
+
+
+def test_local_eval_data(ensemble):
+    """Per-site local-update views of the packed tables (reference
+    expansion.py:24-36)."""
+    proc = ensemble.processor
+    packed = proc.packed
+    led = proc.get_local_eval_data(3)
+    assert led.site_index == 3
+    # every listed cluster contains the site
+    for c in led.cluster_indices:
+        sites = packed.cluster_sites[c][packed.cluster_strides[c] != 0]
+        assert 3 in set(int(s) for s in sites)
+    # ratios are total/local counts, >= 1
+    for orbit_id, ratio in led.cluster_ratio.items():
+        assert ratio >= 1.0
+        local = (packed.cluster_orbit[led.cluster_indices] == orbit_id).sum()
+        assert ratio == pytest.approx(
+            float(packed.orbit_cluster_count[orbit_id]) / int(local)
+        )
+
+
+def test_distance_processor_polymorphic_from_dict(subspace):
+    """DistanceProcessor.from_dict dispatches on @class (reference
+    distance.py:186-208)."""
+    from smol_tpu.moca.processor.distance import (
+        ClusterInteractionDistanceProcessor,
+    )
+
+    scm = np.diag([2, 2, 2])
+    for cls in (CorrelationDistanceProcessor, ClusterInteractionDistanceProcessor):
+        proc = cls(subspace, scm)
+        again = DistanceProcessor.from_dict(proc.as_dict())
+        assert type(again) is cls
+        np.testing.assert_allclose(again.target_vector, proc.target_vector)
+        occu = np.array([0, 1] * 4, dtype=np.int32)
+        np.testing.assert_allclose(
+            again.compute_feature_vector(occu), proc.compute_feature_vector(occu)
+        )
+    with pytest.raises(NameError):
+        DistanceProcessor.from_dict({"@class": "NotAProcessor"})
+
+
+def test_set_num_threads_descriptor(subspace):
+    """The evaluator carries the reference's host-thread knob semantics
+    (reference numthreads.py:14-54): default, clamping, type checks."""
+    import warnings
+
+    from smol_tpu.utils.numthreads import effective_numthreads
+
+    evaluator = subspace.evaluator
+    assert isinstance(evaluator.num_threads, int)
+    evaluator.num_threads = 1
+    assert evaluator.num_threads == 1
+    max_threads = effective_numthreads()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        evaluator.num_threads = max_threads + 10**6
+        assert evaluator.num_threads == max_threads
+        assert any("num_threads" in str(w.message) for w in caught)
+    with pytest.raises(TypeError):
+        evaluator.num_threads = 1.5
+    # negative counts leave |n|-1 threads unused (reference helpers :74-77)
+    assert effective_numthreads(-1) == max_threads
+    assert effective_numthreads(None) == max_threads
+
+
+def test_sqs_sampler_property_host_run():
+    """StochasticSQSGenerator.sampler exposes a runnable multicell
+    Metropolis stack (reference sqs.py:526-546) through the host sampling
+    loop; stored features/enthalpies stay exactly consistent with the
+    current kernel's processor."""
+    from smol_tpu.capp.generate.special.sqs import StochasticSQSGenerator
+    from smol_tpu.cofe import ClusterSubspace
+
+    cs = ClusterSubspace.from_cutoffs(
+        fcc_binary_prim(), {2: 4.0}, basis="indicator",
+        orthonormal=True, use_concentration=True,
+    )
+    gen = StochasticSQSGenerator(cs, 4)
+    sampler = gen.sampler
+    assert sampler is gen.sampler  # memoized
+    kernel = sampler.mckernels[0]
+    assert len(kernel.mckernels) == len(gen._processors)
+    assert kernel.kB == 1.0
+
+    occu = np.array([0, 1, 0, 1], dtype=np.int32)
+    sampler.anneal([5.0, 1.0], 20, initial_occupancies=occu[None], thin_by=5)
+    container = sampler.samples
+    assert container.num_samples == 8
+    # stored features equal a fresh evaluation of the stored occupancy by
+    # the kernel the sample was taken in
+    last = container.num_samples - 1
+    occ = container.get_occupancies(flat=False)[-1][0].astype(np.int32)
+    kernel_index = int(container._trace.kernel_index[last, 0])
+    feats = gen._processors[kernel_index].compute_feature_vector(occ)
+    np.testing.assert_allclose(
+        container._trace.features[last, 0], feats, atol=1e-9
+    )
+    enthalpy = container.get_energies(flat=False)[-1, 0]
+    assert enthalpy == pytest.approx(
+        float(np.dot(kernel.natural_params, feats)), abs=1e-9
+    )
+    rates = container._trace.accept_rate[: container.num_samples]
+    assert np.all((rates >= 0) & (rates <= 1))
