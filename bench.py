@@ -110,6 +110,13 @@ def _run_all(args):
             cmd.append("--independent")
         if args.smoke:
             cmd.append("--smoke")
+        # forward the size overrides so --all sweeps honor them
+        if args.walkers is not None:
+            cmd += ["--walkers", str(args.walkers)]
+        if args.steps is not None:
+            cmd += ["--steps", str(args.steps)]
+        if args.block_size is not None:
+            cmd += ["--block-size", str(args.block_size)]
         print(f"bench --all: running {cfg} ...", file=sys.stderr)
         try:
             proc = subprocess.run(
@@ -189,6 +196,19 @@ def main():
     cpu_only = bool(env_platforms) and "axon" not in env_platforms
     if not cpu_only and not os.environ.get("SMOL_TPU_SKIP_PROBE"):
         err = _probe_devices()
+        if err:
+            # transient tunnel outages recover within minutes; retry twice
+            # with backoff before giving up so a blip does not zero a run
+            import time as _time
+
+            for wait in (120, 300):
+                print(
+                    f"bench: {err}; retrying in {wait}s ...", file=sys.stderr
+                )
+                _time.sleep(wait)
+                err = _probe_devices()
+                if err is None:
+                    break
         if err:
             print(json.dumps({"metric": "bench", "error": err}))
             return 1

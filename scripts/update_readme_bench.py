@@ -68,7 +68,7 @@ def main():
         rec = results.get(cfg)
         if rec is not None and (
             rec.get("smoke")
-            or rec.get("platform") not in (None, "tpu", "axon")
+            or rec.get("platform") not in ("tpu", "axon")
         ):
             # never publish smoke/CPU numbers as TPU results
             rec = {"error": f"non-TPU record ({rec.get('platform')})"}

@@ -49,7 +49,8 @@ def _norms(matrix):
     return np.linalg.norm(matrix, axis=1)
 
 
-MAX_SHELL_BOUND = 36  # caps _shell_points at (2*36+1)^3 ~ 389k candidates
+MAX_SHELL_BOUND = 36  # one-shot cube enumeration up to (2*36+1)^3 ~ 389k
+MAX_SHELL_BOUND_HARD = 512  # beyond this, raise instead of searching forever
 
 
 def _lll_reduce(basis, delta=0.75):
@@ -108,16 +109,44 @@ def _shell_points(lp, target, rtol):
     # |c| <= |c @ lp| * sigma_max(inv(lp))
     smax = np.linalg.norm(np.linalg.inv(lp), ord=2)
     b = int(np.ceil(target * (1 + rtol) * smax)) + 1
-    if b > MAX_SHELL_BOUND:
+    if b > MAX_SHELL_BOUND_HARD:
+        from smol_tpu.utils.exceptions import StructureMatchError
+
+        raise StructureMatchError(
+            f"Supercell lattice-vector search needs a +-{b} integer shell "
+            f"(> hard bound {MAX_SHELL_BOUND_HARD}); the supercell is "
+            "implausibly long relative to the primitive cell, or the "
+            "primitive lattice is degenerate."
+        )
+    lo, hi = target * (1 - rtol), target * (1 + rtol)
+    rng = np.arange(-b, b + 1)
+    if b <= MAX_SHELL_BOUND:
+        cand = (
+            np.array(np.meshgrid(rng, rng, rng, indexing="ij")).reshape(3, -1).T
+        )
+        vecs = cand @ lp
+        norms = np.linalg.norm(vecs, axis=1)
+        sel = (norms >= lo) & (norms <= hi)
+        return cand[sel], vecs[sel], norms[sel]
+    # large shells (long thin supercells): filter slab-by-slab along the
+    # first axis so peak memory stays O(b^2) while keeping the exact result
+    plane = np.array(np.meshgrid(rng, rng, indexing="ij")).reshape(2, -1).T
+    cands, vlist, nlist = [], [], []
+    for c0 in rng:
+        cand = np.concatenate(
+            [np.full((len(plane), 1), c0, dtype=np.int64), plane], axis=1
+        )
+        vecs = cand @ lp
+        norms = np.linalg.norm(vecs, axis=1)
+        sel = (norms >= lo) & (norms <= hi)
+        if np.any(sel):
+            cands.append(cand[sel])
+            vlist.append(vecs[sel])
+            nlist.append(norms[sel])
+    if not cands:
         empty = np.empty((0, 3))
         return empty.astype(np.int64), empty, np.empty(0)
-    rng = np.arange(-b, b + 1)
-    cand = np.array(np.meshgrid(rng, rng, rng, indexing="ij")).reshape(3, -1).T
-    vecs = cand @ lp
-    norms = np.linalg.norm(vecs, axis=1)
-    lo, hi = target * (1 - rtol), target * (1 + rtol)
-    sel = (norms >= lo) & (norms <= hi)
-    return cand[sel], vecs[sel], norms[sel]
+    return np.concatenate(cands), np.concatenate(vlist), np.concatenate(nlist)
 
 
 class StructureMatcher:

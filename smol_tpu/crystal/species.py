@@ -309,6 +309,13 @@ class Composition(Mapping, MSONable):
         for sp, amt in self._data.items():
             symbol = getattr(sp, "symbol", str(sp))
             by_element[symbol] = by_element.get(symbol, 0.0) + amt
+        # same ordering/zero handling as .formula: sorted symbols, zero
+        # amounts dropped
+        by_element = {
+            symbol: amt
+            for symbol, amt in sorted(by_element.items())
+            if amt != 0.0
+        }
         fracs = [
             Fraction(amt).limit_denominator(1000) for amt in by_element.values()
         ]

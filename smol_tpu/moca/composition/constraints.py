@@ -52,16 +52,42 @@ def handle_side_string(side: str):
             else:
                 literals.append((get_species(tok), None))
 
+    def signs_before(idx):
+        """Combined sign of the consecutive +/- literals before idx
+        (reference constraints.py:13-30: signs multiply)."""
+        sign, n_signs = 1, 0
+        j = idx - 1
+        while j >= 0 and literals[j] in ("+", "-"):
+            if literals[j] == "-":
+                sign = -sign
+            n_signs += 1
+            j -= 1
+        return sign, n_signs
+
+    def number_before(idx):
+        """The single numeric coefficient before idx; more than one
+        consecutive number is malformed (reference constraints.py:33-52)."""
+        n_nums = 0
+        j = idx - 1
+        while j >= 0 and isinstance(literals[j], (int, float)):
+            n_nums += 1
+            j -= 1
+        if n_nums == 0:
+            return 1, 0
+        if n_nums == 1:
+            return literals[idx - 1], 1
+        raise ValueError(
+            f"Species {literals[idx]} preceded by {n_nums} > 1 number "
+            "literals, not allowed!"
+        )
+
     intercept = 0
     if literals:
         last = literals[-1]
         if isinstance(last, (int, float)):
-            sign, n_drop = 1, 1
-            if len(literals) >= 2 and literals[-2] in ("+", "-"):
-                sign = 1 if literals[-2] == "+" else -1
-                n_drop = 2
+            sign, n_signs = signs_before(len(literals) - 1)
             intercept = sign * last
-            literals = literals[:-n_drop]
+            literals = literals[: -(1 + n_signs)]
         elif last == "+":
             intercept, literals = 1, literals[:-1]
         elif last == "-":
@@ -70,13 +96,9 @@ def handle_side_string(side: str):
     packed = []
     for i, lit in enumerate(literals):
         if isinstance(lit, tuple):
-            coef, j = 1, i - 1
-            if j >= 0 and isinstance(literals[j], (int, float)):
-                coef = literals[j]
-                j -= 1
-            if j >= 0 and literals[j] == "-":
-                coef = -coef
-            packed.append((coef, *lit))
+            coef, n_nums = number_before(i)
+            sign, _ = signs_before(i - n_nums)
+            packed.append((sign * coef, *lit))
     return packed, intercept
 
 

@@ -267,17 +267,6 @@ class MulticellMetropolis(MulticellKernel):
     @temperature.setter
     def temperature(self, temperature):
         self._temperature = temperature
-        self.beta = 1.0 / (self._kB * temperature)
-        for kernel in self._kernels:
-            kernel.temperature = temperature
-
-    @property
-    def temperature(self):
-        return self._temperature
-
-    @temperature.setter
-    def temperature(self, temperature):
-        self._temperature = temperature
         self.beta = 1.0 / (self.kB * temperature)
         for kernel in self.mckernels:
             kernel.temperature = temperature

@@ -321,6 +321,9 @@ class WangLandau(MCKernel):
             "occurrences": "occurrences",
             "entropy": "entropy",
             "mean_features": "cumulative_mean_features",
+            # chain-path per-boundary mean weights; absent in old records
+            # (then the restored means re-seed at weight zero)
+            "wl_mean_counts": "cumulative_mean_counts",
             "mod_factor": "mod_factor",
         }
         last = container.num_samples - 1

@@ -119,6 +119,9 @@ class Sampler:
                 cumulative_mean_features=np.empty(
                     (0, nwalkers, nlev, nfeat), dtype=np.float64
                 ),
+                cumulative_mean_counts=np.empty(
+                    (0, nwalkers, nlev), dtype=np.int32
+                ),
                 mod_factor=np.empty((0, nwalkers), dtype=np.float64),
             )
         return SampleContainer(
@@ -189,6 +192,7 @@ class Sampler:
                     occurrences=state["occurrences"],
                     entropy=state["entropy"],
                     cumulative_mean_features=state["mean_features"],
+                    cumulative_mean_counts=state["wl_mean_counts"],
                     mod_factor=state["mod_factor"],
                 )
             return rec

@@ -106,8 +106,14 @@ def build_distance_tables(processor, sublattices):
     (SQS supercells are small by construction — the generator enumerates
     shapes of a fixed, modest size).
     """
+    from smol_tpu.moca.processor.distance import CorrelationDistanceProcessor
     from smol_tpu.ops.fastmc import MAX_CODES
 
+    # only the correlation flavor: the tables index by correlation-function
+    # id (bit_id + k); ClusterInteractionDistanceProcessor's diameter groups
+    # hold orbit ids in a different index space and must take the XLA path
+    if not isinstance(processor, CorrelationDistanceProcessor):
+        return None
     packed = getattr(processor, "packed", None)
     if packed is None or not hasattr(processor, "_diameter_groups"):
         return None

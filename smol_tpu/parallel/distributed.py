@@ -119,9 +119,9 @@ def process_walker_slice(mesh: Mesh, nwalkers_global: int,
         )
         for s in idx_map.values()
     )
-    # per-device shards may be UNEQUAL (walker count not divisible by the
-    # device count: leading shards carry one extra row) — require only
-    # that the union is one contiguous gap-free block
+    # with a divisible count every shard is equal; validate only that this
+    # process's union is one contiguous gap-free block (device-id order is
+    # runtime-assigned)
     lo, hi = intervals[0][0], intervals[-1][1]
     cur = lo
     for s, e in intervals:

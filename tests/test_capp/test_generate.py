@@ -125,3 +125,33 @@ def test_sqs_from_processors():
     p0, q0 = gen.processors[0], gen2.processors[0]
     np.testing.assert_allclose(p0.target_vector, q0.target_vector)
     np.testing.assert_allclose(p0.coefs, q0.coefs)
+
+
+def test_distance_tables_only_for_correlation_flavor():
+    """The SQS chain kernel's tables index by correlation-function id;
+    the cluster-interaction flavor (orbit-id index space) must fall back
+    to the XLA path rather than anneal a wrong objective."""
+    from smol_tpu.moca.processor.distance import (
+        ClusterInteractionDistanceProcessor,
+        CorrelationDistanceProcessor,
+    )
+    from smol_tpu.ops import pallas_sqs
+
+    cs = ClusterSubspace.from_cutoffs(
+        fcc_binary_prim(), {2: 4.0}, basis="indicator",
+        orthonormal=True, use_concentration=True,
+    )
+    scm = np.diag([2, 2, 1])
+    corr_proc = CorrelationDistanceProcessor(cs, scm)
+    inter_proc = ClusterInteractionDistanceProcessor(cs, scm)
+    assert (
+        pallas_sqs.build_distance_tables(
+            inter_proc, inter_proc.get_sublattices()
+        )
+        is None
+    )
+    # positive control: the correlation flavor builds tables
+    tables = pallas_sqs.build_distance_tables(
+        corr_proc, corr_proc.get_sublattices()
+    )
+    assert tables is not None

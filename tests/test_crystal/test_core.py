@@ -141,3 +141,17 @@ def test_structure_serialization():
     s = Structure(lat, [{"Li+": 0.5, "Mn4+": 0.3}, "O2-"], [[0, 0, 0], [0.5, 0.5, 0.5]])
     s2 = loads_obj(dumps_obj(s))
     assert s2 == s
+
+
+def test_reduced_formula_ordering_and_zeros():
+    """reduced_formula sorts elements like formula and drops zero amounts."""
+    from smol_tpu.crystal.species import Composition, Species
+
+    comp = Composition({Species("O", -2): 4.0, Species("Li", 1): 1.0})
+    assert comp.formula == "Li1 O4"
+    assert comp.reduced_formula == "Li1 O4"
+    comp2 = Composition(
+        {Species("O", -2): 2.0, Species("Li", 1): 0.0, Species("Mn", 3): 1.0}
+    )
+    assert "Li" not in comp2.reduced_formula
+    assert comp2.reduced_formula == "Mn1 O2"

@@ -230,9 +230,41 @@ def test_skewed_prim_basis_reduced():
 
 
 def test_shell_bound_rejects_pathological():
-    """Beyond MAX_SHELL_BOUND the search degrades to None, not a hang."""
+    """Legitimate long shells work (slab path); only implausible ones
+    (> MAX_SHELL_BOUND_HARD) raise, never silently returning nothing."""
     from smol_tpu.crystal.matcher import MAX_SHELL_BOUND, _shell_points
 
     lp = np.eye(3)
-    cand, vecs, norms = _shell_points(lp, 2.0 * MAX_SHELL_BOUND, 0.1)
-    assert len(cand) == 0
+    cand, vecs, norms = _shell_points(lp, 2.0 * MAX_SHELL_BOUND, 0.01)
+    assert len(cand) > 0  # previously silently empty
+    assert any((c == np.array([2 * MAX_SHELL_BOUND, 0, 0])).all() for c in cand)
+
+
+def test_shell_points_slab_path_and_hard_bound():
+    """Long-supercell shells (> one-shot cube bound) enumerate slab-by-slab
+    with identical results; implausible shells raise instead of silently
+    returning no candidates."""
+    from smol_tpu.crystal.matcher import (
+        MAX_SHELL_BOUND_HARD,
+        _shell_points,
+    )
+    from smol_tpu.utils.exceptions import StructureMatchError
+
+    lp = np.eye(3)
+    # target 40 forces b ~ 41 > 36 (the slab path)
+    cand, vecs, norms = _shell_points(lp, 40.0, rtol=0.02)
+    assert len(cand) > 0
+    assert np.all(np.abs(norms - 40.0) <= 40.0 * 0.02 + 1e-9)
+    assert any((c == np.array([40, 0, 0])).all() for c in cand)
+    # slab path agrees with the one-shot cube on a small case
+    c_small, _, n_small = _shell_points(lp, 5.0, rtol=0.05)
+    lo, hi = 5.0 * 0.95, 5.0 * 1.05
+    brute = []
+    rng = np.arange(-7, 8)
+    for p in np.array(np.meshgrid(rng, rng, rng, indexing="ij")).reshape(3, -1).T:
+        n = np.linalg.norm(p)
+        if lo <= n <= hi:
+            brute.append(tuple(p))
+    assert set(map(tuple, c_small)) == set(brute)
+    with pytest.raises(StructureMatchError):
+        _shell_points(lp, float(MAX_SHELL_BOUND_HARD + 10), rtol=0.01)

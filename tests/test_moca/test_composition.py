@@ -146,3 +146,28 @@ def test_natural_solutions_bounded():
             if np.all(n0 + np.array([x0, x1]) @ vs >= 0):
                 count += 1
     assert len(sols) == count
+
+
+def test_side_string_sign_and_number_rules():
+    """Tokenizer matches the reference's sign/number semantics
+    (reference constraints.py:13-52): consecutive signs multiply, and a
+    species preceded by two numbers is malformed."""
+    from smol_tpu.moca.composition.constraints import handle_side_string
+
+    # consecutive signs before a coefficient multiply together
+    packed, intercept = handle_side_string("- - 2 Li+")
+    assert len(packed) == 1
+    coef, sp, subl = packed[0]
+    assert coef == 2 and str(sp) == "Li+" and subl is None
+    # consecutive signs before a trailing intercept
+    packed, intercept = handle_side_string("Li+ - + 1")
+    assert intercept == -1
+    assert packed[0][0] == 1
+    # three signs
+    packed, _ = handle_side_string("- + - 3 Mn3+(0)")
+    assert packed[0][0] == 3 and packed[0][2] == 0
+    packed, _ = handle_side_string("- 3 Mn3+")
+    assert packed[0][0] == -3
+    # two consecutive number literals before a species are rejected
+    with pytest.raises(ValueError, match="preceded by"):
+        handle_side_string("3 4 Li+")

@@ -256,3 +256,43 @@ def test_wang_landau_chain_sampler_integration(wl_setup, monkeypatch):
     # per-bin mean features updated at window boundaries
     mf = samples.get_trace_value("cumulative_mean_features", flat=False)
     assert np.any(mf[-1] != 0)
+
+
+def test_wl_resume_restores_mean_counts(wl_setup):
+    """restore_aux_state round-trips the chain-path per-bin mean weights
+    (cumulative_mean_counts): restored cumulative means must carry their
+    recorded weight instead of re-seeding at zero."""
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = (levels[1] - levels[0]) if len(levels) > 1 else 0.1
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        nwalkers=2,
+        seed=3,
+    )
+    rng = np.random.default_rng(5)
+    occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
+    sampler.run(1000, occu, thin_by=500)
+    container = sampler.samples
+    trace = container._trace
+    assert hasattr(trace, "cumulative_mean_counts")
+    # inject distinct recorded weights, then restore a fresh state
+    last = container.num_samples - 1
+    injected = np.arange(
+        trace.cumulative_mean_counts[last].size, dtype=np.int32
+    ).reshape(trace.cumulative_mean_counts[last].shape)
+    trace.cumulative_mean_counts[last] = injected
+    kernel = sampler.mckernel
+    state = kernel.restore_aux_state(kernel.initial_state(occu), container)
+    np.testing.assert_array_equal(np.asarray(state["wl_mean_counts"]), injected)
+    # the recorded entropy also restores (pre-existing behavior)
+    np.testing.assert_allclose(
+        np.asarray(state["entropy"]),
+        container.get_trace_value("entropy", flat=False)[-1],
+    )
