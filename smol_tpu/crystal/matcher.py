@@ -149,6 +149,84 @@ def _shell_points(lp, target, rtol):
     return np.concatenate(cands), np.concatenate(vlist), np.concatenate(nlist)
 
 
+def _size_from_spec(structure, prim, spec):
+    """Supercell size from a pymatgen-style ``supercell_size`` spec.
+
+    ``'num_sites'``, ``'volume'`` (= None: geometric), or species/element
+    name(s) whose total amounts set the size ratio — the knob the
+    reference passes through to pymatgen (reference clusterspace.py:146,
+    e.g. ``supercell_size=('O2-', 'F-')`` in its LMOF workflows).
+    Returns None when the spec does not determine an integer size.
+    """
+    if spec is None or spec == "volume":
+        return None
+    if spec == "num_sites":
+        num, denom = float(len(structure)), float(len(prim))
+    else:
+        names = (spec,) if isinstance(spec, str) else tuple(spec)
+
+        def amount(struct):
+            total = 0.0
+            for site in struct:
+                for sp, occ in site.species.items():
+                    if str(sp) in names or getattr(sp, "symbol", None) in names:
+                        total += occ
+            return total
+
+        num, denom = amount(structure), amount(prim)
+    if denom <= 0:
+        return None
+    size = num / denom
+    return int(round(size)) if abs(size - round(size)) < 1e-6 else None
+
+
+def _size_constraints_from_sites(structure, prim):
+    """Supercell-size constraints implied by atom counts.
+
+    Returns ``(det_lo, det_exact)``: a lower bound on the supercell
+    determinant, and the exact determinant when one is implied.  Volume
+    ratios mislead after relaxation (pymatgen instead sizes supercells by
+    composition, which the reference relies on at
+    smol/cofe/space/clusterspace.py:908); atom counts are exact:
+
+    - every structure atom compatible with exactly one prim site-space
+      class must fit in that class's ``slots_per_prim * size`` sites,
+    - a class with no vacancy (site occupancies summing to 1) is fully
+      occupied, so when all its candidate atoms are unambiguous its count
+      pins the size exactly.
+    """
+    classes = {}  # frozenset(species) -> [slots_per_prim, has_vacancy]
+    for site in prim:
+        key = frozenset(site.species.keys())
+        occ = float(sum(site.species.values()))
+        entry = classes.setdefault(key, [0, False])
+        entry[0] += 1
+        entry[1] = entry[1] or occ < 1 - 1e-6
+    only_counts = dict.fromkeys(classes, 0)
+    any_counts = dict.fromkeys(classes, 0)
+    for site in structure:
+        species = set(site.species.keys())
+        compatible = [key for key in classes if species <= key]
+        if len(compatible) == 1:
+            only_counts[compatible[0]] += 1
+        for key in compatible:
+            any_counts[key] += 1
+    det_lo, det_exact = 1, None
+    for key, (slots, has_vacancy) in classes.items():
+        det_lo = max(det_lo, -(-only_counts[key] // slots))
+        if (
+            not has_vacancy
+            and only_counts[key] == any_counts[key]
+            and only_counts[key] > 0
+            and only_counts[key] % slots == 0
+        ):
+            exact = only_counts[key] // slots
+            if det_exact is not None and exact != det_exact:
+                return det_lo, None  # inconsistent counts: trust neither
+            det_exact = exact
+    return det_lo, det_exact
+
+
 class StructureMatcher:
     """Match structures to supercells of a primitive cell.
 
@@ -157,10 +235,18 @@ class StructureMatcher:
     normalization).
     """
 
-    def __init__(self, ltol: float = 0.2, stol: float = 0.3, angle_tol: float = 5, **_):
+    def __init__(
+        self,
+        ltol: float = 0.2,
+        stol: float = 0.3,
+        angle_tol: float = 5,
+        supercell_size=None,
+        **_,
+    ):
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
+        self.supercell_size = supercell_size
 
     # ------------------------------------------------------------------
     # lattice matching
@@ -202,13 +288,20 @@ class StructureMatcher:
         n = int(round(vol_s / vol_p))
         if n < 1 or abs(vol_s / vol_p - n) > max(0.1, 3 * self.ltol * n):
             return []
+        det_lo, det_exact = _size_constraints_from_sites(structure, prim)
+        spec_exact = _size_from_spec(structure, prim, self.supercell_size)
+        if spec_exact is not None:
+            det_exact = spec_exact
 
         # fast path: same orientation, integer relation directly
         m_float = ls @ np.linalg.inv(lp)
         m_int = np.round(m_float).astype(np.int64)
+        d_int = abs(np.linalg.det(m_int))
         if (
-            abs(abs(np.linalg.det(m_int)) - n) < 0.5
+            abs(d_int - n) < 0.5
             and np.max(np.abs(m_float - m_int)) <= self.ltol
+            and d_int >= det_lo
+            and (det_exact is None or abs(d_int - det_exact) < 0.5)
         ):
             return [m_int]
 
@@ -225,6 +318,13 @@ class StructureMatcher:
         n_c = vol_s / vol_p
         n_min = max(1.0, n_c * (1 - 2 * self.ltol) - 0.5)
         n_max = n_c * (1 + 2 * self.ltol) + 0.5
+        # site counts are exact where the volume is not (relaxation changes
+        # cell volume but never the atom count): tighten the determinant
+        # window with them, and widen it when a count-implied size falls
+        # outside the strain window
+        n_min = max(n_min, det_lo - 0.5)
+        if det_exact is not None:
+            n_min, n_max = det_exact - 0.5, det_exact + 0.5
         s_norms = _norms(ls)
         cos_tol = np.deg2rad(self.angle_tol)
         s_unit = ls / s_norms[:, None]
@@ -275,24 +375,38 @@ class StructureMatcher:
         if not found:
             return []
         found.sort(key=lambda em: em[0])
-        # keep the best representative of each DISTINCT sublattice (m1 and
-        # m2 span the same sublattice iff m1 @ inv(m2) is integer
-        # unimodular); rows map back to prim rows through t_red
+        # Keep several row-variants per DISTINCT sublattice (m1 and m2 span
+        # the same sublattice iff m1 @ inv(m2) is integer unimodular).  One
+        # representative is not enough: the site mapping works in fractional
+        # coordinates, which requires the structure's lattice vectors to
+        # correspond ROW-BY-ROW to the candidate's — and under large
+        # anisotropic relaxation the lowest-lattice-error variant of the
+        # right sublattice can still be a permuted/reflected basis whose
+        # fractional frames disagree.  The caller disambiguates by mapping.
+        # Rows map back to prim rows through t_red.
+        variants_per_sublattice = 4
+        sublattices = []  # list of [representative mp, count]
         out = []
         for err, m in found:
             mp = m @ t_red
-            distinct = True
-            for prev in out:
-                u = mp @ np.linalg.inv(prev)
+            if any(np.array_equal(mp, prev) for prev in out):
+                continue
+            group = None
+            for entry in sublattices:
+                u = mp @ np.linalg.inv(entry[0])
                 if np.allclose(u, np.round(u), atol=1e-9) and (
                     abs(abs(np.linalg.det(u)) - 1) < 1e-9
                 ):
-                    distinct = False
+                    group = entry
                     break
-            if distinct:
+            if group is None:
+                if sum(1 for _ in sublattices) >= max_candidates:
+                    continue
+                sublattices.append([mp, 1])
                 out.append(mp)
-                if len(out) >= max_candidates:
-                    break
+            elif group[1] < variants_per_sublattice:
+                group[1] += 1
+                out.append(mp)
         return out
 
     # ------------------------------------------------------------------

@@ -268,3 +268,47 @@ def test_shell_points_slab_path_and_hard_bound():
     assert set(map(tuple, c_small)) == set(brute)
     with pytest.raises(StructureMatchError):
         _shell_points(lp, float(MAX_SHELL_BOUND_HARD + 10), rtol=0.01)
+
+
+def test_size_constraints_from_sites():
+    """Atom counts pin the supercell size where volume misleads: a
+    no-vacancy sublattice's count is exact (reference sizes supercells by
+    composition via pymatgen, clusterspace.py:146)."""
+    from smol_tpu.crystal.matcher import (
+        StructureMatcher,
+        _size_constraints_from_sites,
+        _size_from_spec,
+    )
+
+    a = 3.0
+    lat = Lattice(np.array([[0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]) * a)
+    prim = Structure(
+        lat,
+        [{"Li+": 0.5, "Mn3+": 0.3}, {"O2-": 0.5, "F-": 0.5}],
+        [[0, 0, 0], [0.5, 0.5, 0.5]],
+    )
+    sup = prim.copy()
+    sup.make_supercell(np.diag([2, 2, 1]))
+    from smol_tpu.crystal import PeriodicSite, Structure as Struct
+
+    # an ordered 4-prim cell: 2 Li + 1 Mn (1 cation vacancy) + 2 O + 2 F
+    species = ["Li+", "Li+", "Mn3+", "O2-", "O2-", "F-", "F-"]
+    coords = [sup[i].frac_coords for i in (0, 1, 2, 4, 5, 6, 7)]
+    ordered = Struct(sup.lattice, [{s: 1.0} for s in species], coords)
+    det_lo, det_exact = _size_constraints_from_sites(ordered, prim)
+    # anion class has no vacancy -> its 4 atoms pin the size exactly
+    assert det_exact == 4
+    assert det_lo >= 3  # 3 cations on 1 slot/prim
+    # pymatgen-style supercell_size specs
+    assert _size_from_spec(ordered, prim, ("O2-", "F-")) == 4
+    assert _size_from_spec(ordered, prim, "num_sites") is None  # 7/2 not int
+    assert _size_from_spec(ordered, prim, "volume") is None
+    # a compressed cell (volume ratio rounding to 3) still matches det 4
+    squeezed = Struct(
+        Lattice(ordered.lattice.matrix * 0.976),  # ~-7% volume
+        [dict(s.species) for s in ordered],
+        ordered.frac_coords,
+    )
+    m = StructureMatcher()
+    scm = m.get_supercell_matrix(squeezed, prim)
+    assert scm is not None and round(abs(np.linalg.det(scm))) == 4
