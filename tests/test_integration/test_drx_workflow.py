@@ -1,0 +1,103 @@
+"""Ewald-composite workflow on the reference's real LMO-DRX DFT data.
+
+tests/data/lmo_drx_prim.json and lmo_drx_entries_head40.json are the prim
+and the first 40 (of 638) relaxed DFT entries of the reference's
+disordered-rock-salt tutorial, copied verbatim from its shipped example
+data (reference docs/src/notebooks/data/lmo_drx_*.json; workflow in
+lmo-drx-ce-mc.ipynb).  This is BASELINE config 3's system class:
+charge-decorated species, an EwaldTerm external column, sinusoid basis,
+species-count supercell sizing.  On the full 638 entries at the
+tutorial's tolerances this repo matches 235 vs the reference's recorded
+238 ("238, 387" feature matrix in the notebook output).
+"""
+
+import json
+import warnings
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from smol_tpu.cofe import ClusterExpansion, ClusterSubspace, StructureWrangler
+from smol_tpu.cofe.extern.ewald import EwaldTerm
+from smol_tpu.crystal.entries import ComputedStructureEntry
+from smol_tpu.moca import Ensemble, Sampler
+from smol_tpu.serial import process_decoded
+
+DATA = Path(__file__).resolve().parent.parent / "data"
+
+
+@pytest.fixture(scope="module")
+def drx_wrangler():
+    prim = process_decoded(json.loads((DATA / "lmo_drx_prim.json").read_text()))
+    # the tutorial's exact settings (reference lmo-drx-ce-mc.ipynb)
+    subspace = ClusterSubspace.from_cutoffs(
+        prim,
+        {2: 6.0, 3: 4.0, 4: 2.0},
+        basis="sinusoid",
+        orthonormal=False,
+        ltol=0.15,
+        stol=0.2,
+        angle_tol=15,
+        supercell_size=("O2-",),
+    )
+    subspace.add_external_term(EwaldTerm())
+    wrangler = StructureWrangler(subspace)
+    for ed in json.loads((DATA / "lmo_drx_entries_head40.json").read_text()):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            wrangler.add_entry(ComputedStructureEntry.from_dict(ed), verbose=False)
+    return wrangler
+
+
+def test_feature_width_and_matches(drx_wrangler):
+    """Feature width equals the reference's recorded 387 (386 correlation
+    functions + 1 Ewald column); the hard early entries match at the
+    measured floor."""
+    wrangler = drx_wrangler
+    width = wrangler.cluster_subspace.num_corr_functions + len(
+        wrangler.cluster_subspace.external_terms
+    )
+    assert width == 387
+    assert wrangler.num_structures >= 16
+    matrix = wrangler.feature_matrix
+    assert matrix.shape[1] == 387
+    # the Ewald column carries real (negative, finite) electrostatics
+    ewald_col = matrix[:, -1]
+    assert np.all(np.isfinite(ewald_col))
+    assert np.all(ewald_col < 0)
+
+
+def test_ewald_composite_fit_and_mc(drx_wrangler):
+    """Fit with the Ewald column, rebuild an Ewald-composite ensemble, and
+    run drift-checked MC — the tutorial's downstream workflow."""
+    wrangler = drx_wrangler
+    matrix = wrangler.feature_matrix
+    energies = wrangler.get_property_vector("energy")
+    coefs, *_ = np.linalg.lstsq(matrix, energies, rcond=None)
+    expansion = ClusterExpansion(wrangler.cluster_subspace, coefs)
+    pred = matrix @ coefs
+    rmse = float(np.sqrt(np.mean((pred - energies) ** 2)))
+    assert rmse < 0.05  # eV/prim, in-sample on 16+ entries
+
+    ensemble = Ensemble.from_cluster_expansion(expansion, np.diag([2, 2, 1]))
+    # composite with an Ewald sub-processor
+    from smol_tpu.moca.processor.composite import CompositeProcessor
+    from smol_tpu.moca.processor.ewald import EwaldProcessor
+
+    assert isinstance(ensemble.processor, CompositeProcessor)
+    assert any(
+        isinstance(p, EwaldProcessor) for p in ensemble.processor.processors
+    )
+    fdrift, rdrift = ensemble.processor.compute_average_drift(iterations=100)
+    assert abs(fdrift) < 1e-8 and abs(rdrift) < 1e-8
+
+    sampler = Sampler.from_ensemble(ensemble, temperature=1500.0, nwalkers=1)
+    occu = np.zeros((1, ensemble.num_sites), dtype=np.int32)
+    sampler.run(100, occu, thin_by=20)
+    en = sampler.samples.get_energies(flat=False)
+    occ_last = sampler.samples.get_occupancies(flat=False)[-1][0]
+    recomputed = ensemble.processor.compute_property(
+        np.asarray(occ_last, dtype=np.int32)
+    )
+    assert en[-1, 0] == pytest.approx(recomputed, rel=1e-9)
