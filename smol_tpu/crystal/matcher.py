@@ -325,6 +325,13 @@ class StructureMatcher:
         n_min = max(n_min, det_lo - 0.5)
         if det_exact is not None:
             n_min, n_max = det_exact - 0.5, det_exact + 0.5
+        # volume normalization (pymatgen scale=True, which the reference
+        # always passes, clusterspace.py:183): rescale the structure's
+        # vectors to the ideal supercell volume so ltol measures only the
+        # ANISOTROPIC part of the relaxation, not the uniform dilation
+        size_for_scale = det_exact if det_exact is not None else n
+        scale = (size_for_scale * vol_p / vol_s) ** (1.0 / 3.0)
+        ls = ls * scale
         s_norms = _norms(ls)
         cos_tol = np.deg2rad(self.angle_tol)
         s_unit = ls / s_norms[:, None]

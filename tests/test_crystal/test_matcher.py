@@ -270,6 +270,24 @@ def test_shell_points_slab_path_and_hard_bound():
         _shell_points(lp, float(MAX_SHELL_BOUND_HARD + 10), rtol=0.01)
 
 
+def test_uniform_dilation_normalized(fcc_setup):
+    """Uniform dilation is removed before ltol applies (pymatgen scale=True,
+    which the reference always passes, clusterspace.py:183): a +6% linear
+    (+19% volume) relaxation must match even at ltol=0.05, because after
+    volume normalization the residual anisotropic strain is zero."""
+    prim, subspace, scm, structure, ref_corr = fcc_setup
+    dilated = _distort(
+        structure,
+        rotate=_rotation([1, 2, 3], 0.7),  # force the general (shell) path
+        strain=np.eye(3) * 0.06,
+    )
+    m = StructureMatcher(ltol=0.05)
+    found = m.get_supercell_matrix(dilated, prim)
+    assert found is not None
+    assert abs(abs(np.linalg.det(found)) - 8) < 0.5
+    assert _same_sublattice(found, scm)
+
+
 def test_size_constraints_from_sites():
     """Atom counts pin the supercell size where volume misleads: a
     no-vacancy sublattice's count is exact (reference sizes supercells by

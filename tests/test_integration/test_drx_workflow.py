@@ -7,7 +7,7 @@ data (reference docs/src/notebooks/data/lmo_drx_*.json; workflow in
 lmo-drx-ce-mc.ipynb).  This is BASELINE config 3's system class:
 charge-decorated species, an EwaldTerm external column, sinusoid basis,
 species-count supercell sizing.  On the full 638 entries at the
-tutorial's tolerances this repo matches 235 vs the reference's recorded
+tutorial's tolerances this repo matches 236 vs the reference's recorded
 238 ("238, 387" feature matrix in the notebook output).
 """
 
