@@ -401,13 +401,23 @@ def make_distance_chain(
             )
 
         def row_deltas(gm_x, gcat_x, occ_bf, a, b):
-            """Per-row value change of recoloring a -> b: ([Ld, wb] hi, lo)."""
+            """Per-row value change of recoloring a -> b: ([Ld, wb] hi, lo).
+
+            Per-segment pieces assemble by static concatenation (segment
+            bounds are Python ints); Mosaic has no dynamic_update_slice.
+            """
             t_part = jax.lax.dot(
                 gm_x, occ_bf, preferred_element_type=jnp.float32
             )
-            dh = jnp.zeros((Ld, wb), jnp.float32)
-            dl = jnp.zeros((Ld, wb), jnp.float32)
+            pieces_h = []
+            pieces_l = []
+            cursor = 0
             for (l0, l1, ext_s) in segments:
+                if l0 > cursor:
+                    gap = jnp.zeros((l0 - cursor, wb), jnp.float32)
+                    pieces_h.append(gap)
+                    pieces_l.append(gap)
+                cursor = l1
                 ls = l1 - l0
                 d2_s = jax.lax.broadcast_in_dim(
                     gcat_x[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
@@ -434,9 +444,18 @@ def make_distance_chain(
                     ln_ = jnp.where(mn, glc, ln_)
                     lo_ = jnp.where(mo, glc, lo_)
                 sh, sl = _df_add(hn, ln_, -ho, -lo_)
-                dh = jax.lax.dynamic_update_slice(dh, sh, (l0, 0))
-                dl = jax.lax.dynamic_update_slice(dl, sl, (l0, 0))
-            return dh, dl
+                pieces_h.append(sh)
+                pieces_l.append(sl)
+            if cursor < Ld:
+                gap = jnp.zeros((Ld - cursor, wb), jnp.float32)
+                pieces_h.append(gap)
+                pieces_l.append(gap)
+            if len(pieces_h) == 1:
+                return pieces_h[0], pieces_l[0]
+            return (
+                jnp.concatenate(pieces_h, axis=0),
+                jnp.concatenate(pieces_l, axis=0),
+            )
 
         def scatter(sm_x, vh, vl):
             """Feature-plane delta: [FP, wb] df pair via 0/1 MXU scatter.
