@@ -138,6 +138,10 @@ def _run_all(args):
                     "metric": cfg,
                     "error": f"rc={proc.returncode}",
                     "stdout_tail": proc.stdout[-300:],
+                    # the stderr tail is the diagnostic that matters on a
+                    # crash (tracebacks go there); without it a failed row
+                    # is unactionable from artifacts alone
+                    "stderr_tail": proc.stderr[-2000:],
                 }
         except subprocess.TimeoutExpired:
             rec = {"metric": cfg, "error": "timeout"}
@@ -326,9 +330,9 @@ def main():
             else "tableflip_attempts_per_sec_per_chip_spinel112_ewald"
         )
     elif cfg == "wang-landau":
-        # BASELINE config 4a: flat-histogram DOS sampling, windowed walkers
-        # (runs the per-step XLA path; sized so launches stay well inside
-        # the worker execution limits)
+        # BASELINE config 4a: flat-histogram DOS sampling, windowed
+        # walkers; the dispatched path (chain kernel vs per-step XLA
+        # fallback) is recorded in the result's "path" field
         nwalkers = args.walkers or (64 if args.smoke else 2048)
         nsteps = args.steps or (200 if args.smoke else 10000)
         ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
@@ -405,6 +409,7 @@ def main():
                     "vs_baseline": rate / 1e8,
                     "platform": jax.default_backend(),
                     "smoke": bool(args.smoke),
+                    "path": generator.execution_path,
                 }
             )
         )
@@ -448,6 +453,9 @@ def main():
                 "vs_baseline": rate / 1e8,
                 "platform": jax.default_backend(),
                 "smoke": bool(args.smoke),
+                # the actually-dispatched execution path, sourced from the
+                # sampler's dispatch logic (not prose)
+                "path": sampler.execution_path(thin_by),
             }
         )
     )

@@ -69,34 +69,24 @@ def main():
     dt = timeit(lambda s, k: sj(s, k)["enthalpy"], state, key)
     print(f"single step (dispatch incl): {dt*1e6:.1f} us")
 
-    # pallas binary chain if available
-    from smol_tpu.ops import pallas_mc, fastmc
-    pt = pallas_mc.build_pallas_binary_tables(
+    # persistent chain kernel (the production fast path)
+    from smol_tpu.ops import pallas_chain
+    ct = pallas_chain.build_chain_tables(
         ensemble.processor, ensemble.sublattices,
         mu_table=ensemble.chemical_potential_table,
     )
-    if pt is not None:
-        print(f"pallas binary tables: R={pt.num_ranks} L={pt.n_local} "
-              f"Ko={pt.k_other} tc={pt.tmax_c} tab={pt.tab.shape} planes={pt.planes.shape}")
-        # pack state for pallas
-        words = fastmc.pack_occupancy(occu, ensemble.num_sites, code_bits=1)
-        pstate = {
-            "words": words,
-            "enthalpy": state["enthalpy"],
-            "beta": state["beta"],
-            "naccept": jnp.zeros(nwalkers, jnp.int32),
-            "accepted": jnp.zeros(nwalkers, bool),
-        }
+    if ct is not None and pallas_chain.runtime_supported():
+        print(f"chain tables: R={ct.num_ranks} L={ct.n_local} "
+              f"tmax={ct.tensor_max} binary={ct.binary}")
         for T in (1000,):
-            for bs in (512,):
-                try:
-                    fn = pallas_mc.make_pallas_binary_chain(pt, T, block_size=bs)
-                    jf = jax.jit(fn)
-                    dt = timeit(lambda s: jf(s, 7)["enthalpy"], pstate, n=5)
-                    print(f"pallas T={T} bs={bs}: {dt*1e3:.2f} ms -> "
-                          f"{nwalkers*T/dt/1e6:.1f} M att/s ({dt/T*1e6:.2f} us/step)")
-                except Exception as e:
-                    print(f"pallas T={T} bs={bs}: FAILED {type(e).__name__}: {e}")
+            try:
+                fn = jax.jit(pallas_chain.make_shared_proposal_chain(ct, T))
+                key = jax.random.key(7)
+                dt = timeit(lambda s: fn(s, key)["enthalpy"], state, n=5)
+                print(f"chain T={T}: {dt*1e3:.2f} ms -> "
+                      f"{nwalkers*T/dt/1e6:.1f} M att/s ({dt/T*1e6:.2f} us/step)")
+            except Exception as e:
+                print(f"chain T={T}: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,13 @@ def main():
     n_ok = n_meas = 0
     for cfg, (desc, path) in ROWS.items():
         rec = results.get(cfg)
+        if rec is not None and "error" in rec:
+            # a crash is a crash: render it as a failure, never as a
+            # policy-sounding label (VERDICT round 3, weak item 3)
+            lines.append(
+                f"| {desc} | **FAILED** ({rec['error']}) | — | {path} |"
+            )
+            continue
         if rec is not None and (
             rec.get("smoke")
             or rec.get("platform") not in ("tpu", "axon")
@@ -76,6 +83,8 @@ def main():
             err = (rec or {}).get("error", "not measured")
             lines.append(f"| {desc} | ({err}) | — | {path} |")
             continue
+        # prefer the dispatched path recorded by the benchmark itself
+        path = rec.get("path", path)
         v = rec["value"]
         ratio = rec["vs_baseline"]
         if cfg not in NON_BASELINE:

@@ -296,6 +296,20 @@ class StochasticSQSGenerator(SQSGenerator):
         # chain kernels memoized per (shape, steps): rebuilding makes a
         # fresh closure, which would retrace/recompile on every generate()
         self._chain_fns = {}
+        self._exec_paths = []  # per-shape dispatched path of last generate
+
+    @property
+    def execution_path(self) -> str:
+        """Per-shape dispatched path of the last ``generate()`` call.
+
+        ``"pallas-distance-chain"`` (the persistent VMEM annealing kernel)
+        or ``"xla-step"`` (the per-step fallback); mixed dispatch lists
+        both.  Recorded in benchmark artifacts.
+        """
+        if not self._exec_paths:
+            return "not-run"
+        uniq = sorted(set(self._exec_paths))
+        return uniq[0] if len(uniq) == 1 else "mixed:" + ",".join(uniq)
 
     @property
     def sampler(self):
@@ -399,6 +413,7 @@ class StochasticSQSGenerator(SQSGenerator):
         if clear_previous:
             self._best = []
         rng = np.random.default_rng(seed)
+        self._exec_paths = []
 
         for shape_i, processor in enumerate(self._processors):
             ensemble = Ensemble(processor)
@@ -431,10 +446,16 @@ class StochasticSQSGenerator(SQSGenerator):
 
             ck = (shape_i, int(mcmc_steps))
             if ck not in self._chain_fns:
-                self._chain_fns[ck] = self._chain_anneal_fn(
-                    processor, mcmc_steps
-                )
+                fn = self._chain_anneal_fn(processor, mcmc_steps)
+                # jit the whole stage: without it every temperature stage
+                # dispatches its trace (boundary feature recompute +
+                # sequence draw + pallas launch) op-by-op, which is
+                # latency-bound on remote-attached TPUs
+                self._chain_fns[ck] = None if fn is None else jax.jit(fn)
             chain_fn = self._chain_fns[ck]
+            self._exec_paths.append(
+                "pallas-distance-chain" if chain_fn is not None else "xla-step"
+            )
             if chain_fn is None:
                 # Partial-wrapped so all same-size supercell shapes share
                 # one XLA compilation (see ops/mc.py run_chain)

@@ -300,6 +300,32 @@ class Structure(MSONable):
         sites = [PeriodicSite.from_dict(sd) for sd in d["sites"]]
         return cls.from_sites(sites)
 
+    @classmethod
+    def from_file(cls, filename) -> "Structure":
+        """Read a structure from a POSCAR/CONTCAR or CIF file.
+
+        The first line of most reference workflows (pymatgen
+        ``Structure.from_file`` in the reference notebooks, e.g.
+        /root/reference/docs/src/notebooks/creating-a-ce.ipynb); see
+        smol_tpu.crystal.fileio for the supported format subset.
+        """
+        from smol_tpu.crystal import fileio
+
+        return fileio.from_file(filename)
+
+    @classmethod
+    def from_str(cls, text: str, fmt: str) -> "Structure":
+        """Parse a structure from a string (``fmt``: 'poscar' or 'cif')."""
+        from smol_tpu.crystal import fileio
+
+        return fileio.from_str(text, fmt)
+
+    def to(self, filename, fmt: str | None = None) -> None:
+        """Write this structure to a POSCAR or CIF file."""
+        from smol_tpu.crystal import fileio
+
+        fileio.write_structure(self, filename, fmt=fmt)
+
 
 def _collect_props(sites) -> dict:
     keys = set()

@@ -224,6 +224,51 @@ class Sampler:
         self._chain_fns[thin_by] = fn
         return fn
 
+    def execution_path(self, thin_by: int = 1) -> str:
+        """The execution path ``run(thin_by=...)`` will dispatch.
+
+        One machine-readable string sourced from the actual dispatch logic
+        (not prose), recorded in benchmark artifacts so a measured rate is
+        attributable to a specific code path: the persistent Pallas chain
+        kernel vs the per-step XLA fallback, streamed vs VMEM-resident
+        tables, shared vs independent proposal streams, and replica
+        exchange.  Example: ``"pallas-chain[flip]+vmem-tables+
+        shared-proposals"``.
+        """
+        parts = []
+        if self._get_chain_fn(int(thin_by)) is not None:
+            kern = self._kernel
+            built = (
+                kern._get_chain_tables()
+                if hasattr(kern, "_get_chain_tables")
+                else None
+            )
+            move = built[1] if built else "?"
+            parts.append(f"pallas-chain[{move}]")
+            if built:
+                from smol_tpu.ops import pallas_chain
+
+                t = built[0]
+                table_bytes = 2 * t.gm.size + 4 * t.gcat.size
+                parts.append(
+                    "streamed-tables"
+                    if table_bytes > pallas_chain.VMEM_TABLE_BUDGET
+                    else "vmem-tables"
+                )
+            parts.append("shared-proposals")
+        else:
+            parts.append("xla-step")
+            fast = (
+                self._kernel._get_fast_tables()
+                if hasattr(self._kernel, "_get_fast_tables")
+                else None
+            )
+            parts.append(f"fast[{fast[1]}]" if fast else "general")
+            parts.append("independent-proposals")
+        if self._replica_exchange_period is not None:
+            parts.append(f"replica-exchange@{self._replica_exchange_period}")
+        return "+".join(parts)
+
     def setup_sample(self, initial_occupancies):
         """Initialize the device state from initial occupancies [W, N]."""
         occupancies = np.atleast_2d(np.asarray(initial_occupancies, dtype=np.int32))

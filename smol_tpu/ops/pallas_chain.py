@@ -1,7 +1,7 @@
 """Shared-proposal persistent-chain Pallas kernel for Metropolis flips.
 
 The fastest way to run single-flip Metropolis on a TPU.  The per-walker
-bottleneck of the other fast paths (smol_tpu.ops.fastmc, ops.pallas_mc) is
+bottleneck of the other fast path (smol_tpu.ops.fastmc) is
 that the proposal site differs per walker, so every static-table access
 must be a one-hot MXU matmul over all active sites — Theta(ranks x
 table-width) MACs per attempt, plus (in the XLA path) HBM round trips for
@@ -35,7 +35,7 @@ Statistical contract (READ THIS):
   Disable with ``Sampler.from_ensemble(..., shared_proposals=False)`` to
   fall back to fully independent per-walker proposals.
 
-Numerical contract (same as ops.pallas_mc): energy deltas and the running
+Numerical contract: energy deltas and the running
 enthalpy accumulate in double-float (two f32 words, ~2^-45 relative);
 acceptance evaluates in f32; recorded trace enthalpies are recomputed in
 exact f64 from occupancies at thinning points, so traces carry no drift.
@@ -59,7 +59,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from smol_tpu.ops.pallas_mc import _df_add, _pos_bits, _uniform01
+from smol_tpu.ops.prims import _df_add, _pos_bits, _uniform01
 
 __all__ = [
     "ChainTables",

@@ -56,7 +56,7 @@ from smol_tpu.ops.pallas_chain import (
     rank_pair_sequence,
     runtime_supported,
 )
-from smol_tpu.ops.pallas_mc import _df_add, _uniform01
+from smol_tpu.ops.prims import _df_add, _uniform01
 
 __all__ = [
     "DistanceTables",
@@ -375,6 +375,19 @@ def make_distance_chain(
     t = tables
     R, RP, Ld, TM, FP = t.num_ranks, t.rpad, t.n_local, t.tensor_max, t.fpad
     segments = t.segments
+    # row_deltas assembles per-segment pieces by STATIC CONCATENATION, so
+    # it silently misplaces rows unless the segments are sorted,
+    # non-overlapping, and within [0, Ld]; check the invariant here, where
+    # the segments are consumed (concatenation alone only catches a wrong
+    # total length)
+    cursor = 0
+    for (l0, l1, _e) in segments:
+        if not (cursor <= l0 < l1 <= Ld):
+            raise AssertionError(
+                f"distance-chain segments must be sorted, disjoint and "
+                f"within [0, {Ld}]; got {segments}"
+            )
+        cursor = l1
     wtol = np.float32(t.match_tol)
     mweight = np.float32(t.match_weight)
 
