@@ -371,11 +371,12 @@ def main():
             prim, cutoffs={2: 5.0, 3: 3.5},
             supercell_size=4 if args.smoke else 8,
         )
-        # per-step XLA path (multicell distance annealing): sized so one
-        # generate() stays minutes-scale
+        # multicell distance annealing: per-shape persistent-chain
+        # launches; sized so the per-launch chain windows dominate the
+        # per-shape host overheads (initial states, exact rescores)
         n_shapes = len(generator.processors)
-        sqs_walkers = args.walkers or (16 if args.smoke else 256)
-        sqs_steps = args.steps or (100 if args.smoke else 1000)
+        sqs_walkers = args.walkers or (16 if args.smoke else 2048)
+        sqs_steps = args.steps or (100 if args.smoke else 8000)
         temps = np.linspace(5.0, 0.02, 3 if args.smoke else 4)
         attempts = n_shapes * len(temps) * sqs_steps * sqs_walkers
 

@@ -429,20 +429,30 @@ class StochasticSQSGenerator(SQSGenerator):
                 occu0 = np.asarray(initial_occupancies[shape_i], dtype=np.int32)
                 occus = np.tile(occu0, (nwalkers, 1))
             else:
+                # one composition-exact occupancy, then an independent
+                # uniform within-sublattice permutation per walker
+                # (vectorized: a per-walker generate_random_ordered_
+                # occupancy loop costs more host time than the anneal)
                 compositions = [
                     sl.composition for sl in processor.get_sublattices()
                 ]
-                occus = np.stack(
-                    [
-                        generate_random_ordered_occupancy(
-                            processor, composition=compositions, rng=rng
-                        )
-                        for _ in range(nwalkers)
-                    ]
+                occu0 = generate_random_ordered_occupancy(
+                    processor, composition=compositions, rng=rng
                 )
+                occus = np.tile(occu0, (nwalkers, 1))
+                for sl in processor.get_sublattices():
+                    sites = np.asarray(sl.sites)
+                    if len(sites) < 2:
+                        continue
+                    perms = rng.random((nwalkers, len(sites))).argsort(axis=1)
+                    occus[:, sites] = occu0[sites][perms]
             state = kernel.initial_state(occus)
             state["best_enthalpy"] = state["enthalpy"]
             state["best_occupancy"] = state["occupancy"]
+            # pre-seed so the chain fn's output pytree structure matches its
+            # input: a key that appears only in the output forces a second
+            # compilation of the jitted stage on its first reuse
+            state["window_naccept"] = jnp.zeros_like(state["naccept"])
 
             ck = (shape_i, int(mcmc_steps))
             if ck not in self._chain_fns:
@@ -480,18 +490,27 @@ class StochasticSQSGenerator(SQSGenerator):
                 best = float(jnp.min(state["best_enthalpy"]))
                 print(f"shape {shape_i}: best score {best:.6f}")
 
+            # exact batched rescore (one compiled device call per shape —
+            # shapes share the compilation since feat_fn is a Partial): the
+            # chain kernel tracks best scores at f32 delta precision, the
+            # stored score must be exact f64
+            from smol_tpu.ops.mc import batched_features
+
             best_occus = np.asarray(state["best_occupancy"])
+            feats_all = np.asarray(
+                batched_features(
+                    kernel.full_features_fn(), state["best_occupancy"]
+                )
+            )
             coefs = np.asarray(processor.coefs)
+            scores = feats_all @ coefs
             for w in range(nwalkers):
-                # exact host rescore: the chain kernel tracks best scores
-                # at f32 delta precision, the stored score must be exact
-                features = processor.compute_feature_vector(best_occus[w])
                 self._best.append(
                     {
                         "shape": shape_i,
                         "occupancy": best_occus[w].astype(np.int32),
-                        "score": float(coefs @ features),
-                        "features": features,
+                        "score": float(scores[w]),
+                        "features": feats_all[w],
                     }
                 )
         if max_save_num is not None and len(self._best) > max_save_num:

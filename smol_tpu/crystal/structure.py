@@ -268,6 +268,30 @@ class Structure(MSONable):
     def __getitem__(self, idx):
         return self._sites[idx]
 
+    def replace(self, idx, species, coords=None, properties=None) -> None:
+        """Replace the species (and optionally coords) at one site.
+
+        Mirrors ``pymatgen.core.Structure.replace`` (used in reference
+        notebooks to decorate disordered supercells into ordered ones);
+        ``species`` accepts a species string/object or an occupancy dict.
+        """
+        site = self._sites[idx]
+        new = PeriodicSite(
+            species,
+            site.frac_coords if coords is None else np.asarray(coords),
+            self._lattice,
+            properties=(
+                dict(site.properties) if properties is None else properties
+            ),
+            label=site.label,
+        )
+        new._index = idx
+        self._sites[idx] = new
+
+    def __setitem__(self, idx, species) -> None:
+        """``structure[i] = "Au"`` species assignment (pymatgen parity)."""
+        self.replace(idx, species)
+
     def __eq__(self, other):
         if not isinstance(other, Structure):
             return False

@@ -354,7 +354,9 @@ class MCKernel(StandardSingleStepMixin, MCKernelInterface):
         occupancies = np.atleast_2d(np.asarray(occupancies, dtype=np.int32))
         nwalkers = occupancies.shape[0]
         feats = np.asarray(
-            jax.vmap(self.full_features_fn())(jnp.asarray(occupancies))
+            devmc.batched_features(
+                self.full_features_fn(), jnp.asarray(occupancies)
+            )
         )
         enthalpy = feats @ self.natural_params
         state = {

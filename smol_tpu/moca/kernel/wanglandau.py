@@ -315,7 +315,8 @@ class WangLandau(MCKernel):
         if container.num_samples == 0:
             return state
         state = dict(state)
-        trace = container._trace
+        # bulky cumulative planes live on the container's aux cadence; the
+        # last aux record carries the full Wang-Landau bookkeeping
         mapping = {
             "histogram": "histogram",
             "occurrences": "occurrences",
@@ -326,11 +327,13 @@ class WangLandau(MCKernel):
             "wl_mean_counts": "cumulative_mean_counts",
             "mod_factor": "mod_factor",
         }
-        last = container.num_samples - 1
         for key, name in mapping.items():
-            arr = getattr(trace, name, None)
-            if arr is not None and len(arr) > last:
-                state[key] = jnp.asarray(arr[last]).astype(state[key].dtype)
+            try:
+                arr = container.get_trace_value(name, flat=False)
+            except AttributeError:
+                continue
+            if len(arr):
+                state[key] = jnp.asarray(arr[-1]).astype(state[key].dtype)
         return state
 
     def initial_state(self, occupancies) -> dict:

@@ -24,7 +24,13 @@ __all__ = ["SampleContainer"]
 class SampleContainer(MSONable):
     """Holds sampled traces of an MC run."""
 
-    def __init__(self, ensemble, sample_trace: Trace, sampling_metadata=None):
+    def __init__(
+        self,
+        ensemble,
+        sample_trace: Trace,
+        sampling_metadata=None,
+        aux_trace: Trace | None = None,
+    ):
         """Initialize a SampleContainer.
 
         Args:
@@ -32,6 +38,14 @@ class SampleContainer(MSONable):
             sample_trace: an empty Trace with arrays shaped
                 [0, nwalkers, ...] defining what will be recorded.
             sampling_metadata: optional metadata dict.
+            aux_trace: optional empty Trace of AUXILIARY quantities recorded
+                on their own (sparser) cadence — bulky cumulative kernel
+                state such as Wang-Landau entropy/histogram planes, whose
+                per-sample device-to-host transfer would dominate the run
+                (each record is cumulative, so the last one carries the
+                full result).  Aux records append via
+                :meth:`save_aux_record`; :meth:`get_trace_value` serves
+                them transparently by name.
         """
         if isinstance(ensemble, dict):
             self._ensemble_specs = ensemble
@@ -52,6 +66,10 @@ class SampleContainer(MSONable):
         self.metadata = Metadata("SampleContainer", **meta)
         self._trace = sample_trace
         self._nsamples = 0
+        self._aux_trace = aux_trace if aux_trace is not None else Trace()
+        self._naux = 0
+        # the (main-trace) sample index each aux record was taken at
+        self._aux_indices = np.empty(0, dtype=np.int64)
         self.total_mc_steps_per_sample = 1
         self._backend = None
 
@@ -91,7 +109,20 @@ class SampleContainer(MSONable):
 
     @property
     def traced_values(self) -> list:
-        return self._trace.names
+        return self._trace.names + self._aux_trace.names
+
+    @property
+    def aux_traced_values(self) -> list:
+        return self._aux_trace.names
+
+    @property
+    def num_aux_records(self) -> int:
+        return self._naux
+
+    @property
+    def aux_sample_indices(self) -> np.ndarray:
+        """Main-trace sample index of each aux record."""
+        return self._aux_indices[: self._naux]
 
     # ---------------- trace access ----------------
 
@@ -101,8 +132,16 @@ class SampleContainer(MSONable):
         return values.reshape(-1, *values.shape[2:])
 
     def get_trace_value(self, name, discard=0, thin_by=1, flat=True):
-        """Sampled values of one traced quantity."""
-        value = getattr(self._trace, name)[: self._nsamples]
+        """Sampled values of one traced quantity.
+
+        Aux quantities (see ``aux_traced_values``) are served from the aux
+        record axis: ``discard``/``thin_by`` then index aux RECORDS, not
+        samples (aux records are cumulative; the last one is the result).
+        """
+        if name in self._aux_trace.names:
+            value = getattr(self._aux_trace, name)[: self._naux]
+        else:
+            value = getattr(self._trace, name)[: self._nsamples]
         value = value[discard + thin_by - 1 :: thin_by]
         return self._flatten(value) if flat else value
 
@@ -292,16 +331,60 @@ class SampleContainer(MSONable):
         self._nsamples += n_new
         self.total_mc_steps_per_sample = thinned_by
 
+    def save_aux_record(self, record: dict, sample_index: int | None = None):
+        """Append one aux record (arrays shaped [nwalkers, ...]).
+
+        Args:
+            record: mapping of aux trace names to values for all walkers.
+            sample_index: the main-trace sample index this record was taken
+                at (defaults to the latest sample).
+        """
+        if sample_index is None:
+            sample_index = self._nsamples - 1
+        for name, value in record.items():
+            target = getattr(self._aux_trace, name)
+            if self._naux >= len(target):
+                grown = np.empty(
+                    (max(1, self._naux), *target.shape[1:]), target.dtype
+                )
+                target = np.concatenate([target[: self._naux], grown])
+            target[self._naux] = value
+            setattr(self._aux_trace, name, target)
+        if self._naux >= len(self._aux_indices):
+            self._aux_indices = np.concatenate(
+                [
+                    self._aux_indices[: self._naux],
+                    np.empty(max(1, self._naux), dtype=np.int64),
+                ]
+            )
+        self._aux_indices[self._naux] = sample_index
+        self._naux += 1
+
     def clear(self):
         """Drop all samples."""
         for name, value in self._trace.items():
             setattr(self._trace, name, np.empty((0, *value.shape[1:]), value.dtype))
         self._nsamples = 0
+        for name, value in self._aux_trace.items():
+            setattr(
+                self._aux_trace,
+                name,
+                np.empty((0, *value.shape[1:]), value.dtype),
+            )
+        self._naux = 0
+        self._aux_indices = np.empty(0, dtype=np.int64)
 
     def vacuum(self):
         """Trim over-allocated space."""
         for name, value in self._trace.items():
             setattr(self._trace, name, np.ascontiguousarray(value[: self._nsamples]))
+        for name, value in self._aux_trace.items():
+            setattr(
+                self._aux_trace,
+                name,
+                np.ascontiguousarray(value[: self._naux]),
+            )
+        self._aux_indices = np.ascontiguousarray(self._aux_indices[: self._naux])
 
     # ---------------- HDF5 backend ----------------
 
@@ -340,6 +423,19 @@ class SampleContainer(MSONable):
                 maxshape=(None, *value.shape[1:]),
                 dtype=value.dtype,
             )
+        if self._aux_trace.names:
+            backend.attrs["naux"] = 0
+            aux = backend.create_group("aux_trace")
+            for name, value in self._aux_trace.items():
+                aux.create_dataset(
+                    name,
+                    shape=(0, *value.shape[1:]),
+                    maxshape=(None, *value.shape[1:]),
+                    dtype=value.dtype,
+                )
+            aux.create_dataset(
+                "sample_indices", shape=(0,), maxshape=(None,), dtype=np.int64
+            )
 
     @staticmethod
     def _grow_backend(backend, nsamples):
@@ -355,6 +451,18 @@ class SampleContainer(MSONable):
                 : self._nsamples
             ]
         backend.attrs["nsamples"] = start + self._nsamples
+        if self._naux and "aux_trace" in backend:
+            astart = int(backend.attrs.get("naux", 0))
+            sample_offset = start  # buffered sample indices are run-local
+            aux = backend["aux_trace"]
+            for name, value in self._aux_trace.items():
+                aux[name].resize(astart + self._naux, axis=0)
+                aux[name][astart : astart + self._naux] = value[: self._naux]
+            aux["sample_indices"].resize(astart + self._naux, axis=0)
+            aux["sample_indices"][astart : astart + self._naux] = (
+                self._aux_indices[: self._naux] + sample_offset
+            )
+            backend.attrs["naux"] = astart + self._naux
         backend.attrs["total_mc_steps_per_sample"] = self.total_mc_steps_per_sample
         backend.flush()
         self.clear()
@@ -371,6 +479,9 @@ class SampleContainer(MSONable):
         # flush clears memory; restore in-memory samples
         self_restored = SampleContainer.from_hdf5(file_path, ensemble=self._ensemble)
         self._trace = self_restored._trace
+        self._aux_trace = self_restored._aux_trace
+        self._naux = self_restored._naux
+        self._aux_indices = self_restored._aux_indices
         self._nsamples = nsamples
         self.total_mc_steps_per_sample = steps
 
@@ -383,6 +494,16 @@ class SampleContainer(MSONable):
             nsamples = int(f.attrs["nsamples"])
             written = {name: np.array(f["trace"][name]) for name in f["trace"]}
             steps = int(f.attrs.get("total_mc_steps_per_sample", 1))
+            naux = int(f.attrs.get("naux", 0))
+            aux_written = {}
+            aux_indices = np.empty(0, dtype=np.int64)
+            if "aux_trace" in f:
+                aux_written = {
+                    name: np.array(f["aux_trace"][name])
+                    for name in f["aux_trace"]
+                    if name != "sample_indices"
+                }
+                aux_indices = np.array(f["aux_trace"]["sample_indices"])
         if nsamples < next(iter(written.values())).shape[0]:
             warnings.warn(
                 f"The hdf5 file {file_path} contains {nsamples} written "
@@ -396,8 +517,14 @@ class SampleContainer(MSONable):
             "natural_parameters": np.zeros(1),
             "num_energy_coefs": 1,
         }
-        container = cls(ensemble if ensemble is not None else specs, trace)
+        aux_trace = Trace(**{k: v[:naux] for k, v in aux_written.items()})
+        container = cls(
+            ensemble if ensemble is not None else specs, trace,
+            aux_trace=aux_trace,
+        )
         container._nsamples = nsamples
+        container._naux = naux
+        container._aux_indices = aux_indices[:naux]
         container.total_mc_steps_per_sample = steps
         return container
 
@@ -413,6 +540,11 @@ class SampleContainer(MSONable):
             "metadata": jsanitize(vars(self.metadata)),
             "trace": {k: v.tolist() for k, v in self._trace.items()},
             "trace_dtypes": {k: str(v.dtype) for k, v in self._trace.items()},
+            "aux_trace": {k: v.tolist() for k, v in self._aux_trace.items()},
+            "aux_dtypes": {
+                k: str(v.dtype) for k, v in self._aux_trace.items()
+            },
+            "aux_indices": self._aux_indices[: self._naux].tolist(),
             "nsamples": self._nsamples,
             "total_mc_steps_per_sample": self.total_mc_steps_per_sample,
             "sublattices": [s.as_dict() for s in self._sublattices],
@@ -428,10 +560,21 @@ class SampleContainer(MSONable):
         )
         specs = dict(d["ensemble_specs"])
         specs["natural_parameters"] = np.array(specs["natural_parameters"])
+        aux_trace = Trace(
+            **{
+                k: np.array(v, dtype=d["aux_dtypes"][k])
+                for k, v in d.get("aux_trace", {}).items()
+            }
+        )
         container = cls(
-            ensemble if ensemble is not None else specs, trace, d.get("metadata")
+            ensemble if ensemble is not None else specs, trace, d.get("metadata"),
+            aux_trace=aux_trace,
         )
         container._sublattices = [process_decoded(s) for s in d.get("sublattices", [])]
         container._nsamples = d["nsamples"]
+        container._naux = len(d.get("aux_indices", []))
+        container._aux_indices = np.array(
+            d.get("aux_indices", []), dtype=np.int64
+        )
         container.total_mc_steps_per_sample = d["total_mc_steps_per_sample"]
         return container

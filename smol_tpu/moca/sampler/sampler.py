@@ -110,9 +110,17 @@ class Sampler:
             trace_arrays["temperature"] = np.empty((0, nwalkers), dtype=np.float64)
         if hasattr(kernel, "current_kernel"):  # MulticellKernel host sampling
             trace_arrays["kernel_index"] = np.empty((0, nwalkers), dtype=int)
+        aux_arrays = {}
         if type(kernel).__name__ == "WangLandau":
             nlev = len(kernel._levels)
-            trace_arrays.update(
+            trace_arrays["mod_factor"] = np.empty(
+                (0, nwalkers), dtype=np.float64
+            )
+            # the bulky cumulative WL planes go on the aux cadence: each
+            # record is cumulative, so per-sample device-to-host transfers
+            # (tens of MB each) would dominate the run for zero extra
+            # information — the last record IS the DOS result
+            aux_arrays.update(
                 histogram=np.empty((0, nwalkers, nlev), dtype=np.int32),
                 occurrences=np.empty((0, nwalkers, nlev), dtype=np.int32),
                 entropy=np.empty((0, nwalkers, nlev), dtype=np.float64),
@@ -122,10 +130,12 @@ class Sampler:
                 cumulative_mean_counts=np.empty(
                     (0, nwalkers, nlev), dtype=np.int32
                 ),
-                mod_factor=np.empty((0, nwalkers), dtype=np.float64),
             )
         return SampleContainer(
-            kernel.ensemble, Trace(**trace_arrays), ensemble.thermo_boundaries
+            kernel.ensemble,
+            Trace(**trace_arrays),
+            ensemble.thermo_boundaries,
+            aux_trace=Trace(**aux_arrays) if aux_arrays else None,
         )
 
     # ---------------- properties ----------------
@@ -187,17 +197,23 @@ class Sampler:
             if "beta" in state:
                 rec["temperature"] = 1.0 / (kB * state["beta"])
             if is_wl:
-                rec.update(
-                    histogram=state["histogram"],
-                    occurrences=state["occurrences"],
-                    entropy=state["entropy"],
-                    cumulative_mean_features=state["mean_features"],
-                    cumulative_mean_counts=state["wl_mean_counts"],
-                    mod_factor=state["mod_factor"],
-                )
+                rec["mod_factor"] = state["mod_factor"]
             return rec
 
         return record
+
+    def _aux_record(self, state):
+        """One aux record (host arrays) from the current device state."""
+        kernel = self._kernel
+        if type(kernel).__name__ != "WangLandau":
+            return None
+        return {
+            "histogram": np.asarray(state["histogram"]),
+            "occurrences": np.asarray(state["occurrences"]),
+            "entropy": np.asarray(state["entropy"]),
+            "cumulative_mean_features": np.asarray(state["mean_features"]),
+            "cumulative_mean_counts": np.asarray(state["wl_mean_counts"]),
+        }
 
     # ---------------- running ----------------
 
@@ -299,6 +315,7 @@ class Sampler:
         swmr_mode=False,
         samples_per_launch=None,
         profile_dir=None,
+        aux_every=None,
     ):
         """Run an MC simulation saving a sample every ``thin_by`` steps.
 
@@ -318,6 +335,16 @@ class Sampler:
             profile_dir: when set, wrap the run in a ``jax.profiler.trace``
                 writing a TensorBoard-loadable profile to this directory
                 (SURVEY.md section 5 observability).
+            aux_every: cadence (in samples) of AUX records — bulky
+                cumulative kernel state such as the Wang-Landau
+                entropy/histogram/mean-feature planes (see
+                ``SampleContainer.aux_traced_values``).  Default None
+                records aux state once, at the end of the run; every aux
+                record is cumulative, so intermediate records only add
+                monitoring granularity at the cost of a device-to-host
+                transfer of the full planes each time (the reference
+                records them per sample, smol/moca/kernel/wanglandau.py:
+                222-266 — pass ``aux_every=1`` for that behavior).
         """
         import contextlib
         import time as _time
@@ -375,6 +402,10 @@ class Sampler:
             samples_per_launch = max(
                 1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
             )
+        has_aux = bool(self._container.aux_traced_values)
+        if has_aux and aux_every is not None:
+            # aux records land at launch boundaries: cap the launch size
+            samples_per_launch = min(samples_per_launch, int(aux_every))
         chain_fn = self._get_chain_fn(thin_by)
         step_fn = None
         if chain_fn is None:
@@ -410,6 +441,7 @@ class Sampler:
 
         done = 0
         since_flush = 0
+        since_aux = 0
         profile_ctx = (
             jax.profiler.trace(profile_dir)
             if profile_dir is not None
@@ -440,6 +472,16 @@ class Sampler:
                 )
                 done += launch
                 since_flush += launch
+                since_aux += launch
+                if has_aux and (
+                    done >= nsamples
+                    or (aux_every is not None and since_aux >= aux_every)
+                ):
+                    self._container.save_aux_record(
+                        self._aux_record(self._state),
+                        sample_index=self._container.num_samples - 1,
+                    )
+                    since_aux = 0
                 if backend is not None and since_flush >= stream_chunk:
                     self._container.flush_to_backend(backend)
                     since_flush = 0

@@ -334,6 +334,20 @@ def _as_partial(fn):
     return fn if isinstance(fn, Partial) else Partial(fn)
 
 
+@jax.jit
+def batched_features(feat_fn, occupancies):
+    """Compiled vmapped feature evaluation: [W, N] occupancies -> [W, F].
+
+    ``feat_fn`` must be a ``Partial`` (e.g. ``MCKernel.full_features_fn()``)
+    so its bound arrays are traced data: one compilation serves every
+    same-shaped processor (the SQS generator's per-shape evaluations, the
+    kernel initial states).  An eager ``jax.vmap`` here would dispatch the
+    whole select-plane evaluation op-by-op — latency-bound on
+    remote-attached TPUs.
+    """
+    return jax.vmap(feat_fn)(occupancies)
+
+
 def _apply_flips(occu, sites, codes, valid):
     """Apply masked flips (gather/scatter-free one-hot writes)."""
     return set_vec(occu, sites, codes, valid)

@@ -1533,9 +1533,11 @@ def make_shared_proposal_chain(
         nacc_w = nacc_n[0, :W]
         out["naccept"] = state["naccept"] + nacc_w
         out["accepted"] = nacc_w > 0  # coarse: any accept in the window
-        out["window_naccept"] = (
-            state.get("window_naccept", jnp.zeros_like(nacc_w)) + nacc_w
-        )
+        if "window_naccept" in state:
+            # only update a pre-existing key (run_chain_fused seeds it):
+            # introducing one would change the output pytree structure vs
+            # the input and force jitted callers to recompile on reuse
+            out["window_naccept"] = state["window_naccept"] + nacc_w
         if is_wl:
             enth_n, entl_n, hist_n, occr_n, modf_n, cnt_n = outs_n[4:10]
             out["entropy"] = (

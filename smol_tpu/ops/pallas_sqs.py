@@ -712,9 +712,11 @@ def make_distance_chain(
         nacc_w = nacc_n[0, :W]
         out["naccept"] = state["naccept"] + nacc_w
         out["accepted"] = nacc_w > 0
-        out["window_naccept"] = (
-            state.get("window_naccept", jnp.zeros_like(nacc_w)) + nacc_w
-        )
+        if "window_naccept" in state:
+            # only update a pre-existing key: introducing one would change
+            # the output pytree structure vs the input and force jitted
+            # callers to recompile on their second call
+            out["window_naccept"] = state["window_naccept"] + nacc_w
         return out
 
     return fn

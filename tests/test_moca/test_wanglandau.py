@@ -239,10 +239,15 @@ def test_wang_landau_chain_sampler_integration(wl_setup, monkeypatch):
     assert sampler._get_chain_fn(200) is not None
     rng = np.random.default_rng(3)
     occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
-    sampler.run(1000, occu, thin_by=200)
+    sampler.run(1000, occu, thin_by=200, aux_every=1)
     samples = sampler.samples
+    # aux_every=1: one aux record per sample (reference per-sample cadence)
     ent = samples.get_trace_value("entropy", flat=False)
     assert ent.shape[0] == 5 and ent[-1].max() > 0
+    assert samples.num_aux_records == 5
+    np.testing.assert_array_equal(
+        samples.aux_sample_indices, np.arange(5)
+    )
     # recorded enthalpies match exact recomputation from occupancies
     occs = samples.get_trace_value("occupancy", flat=False)
     enths = samples.get_trace_value("enthalpy", flat=False)
@@ -256,6 +261,135 @@ def test_wang_landau_chain_sampler_integration(wl_setup, monkeypatch):
     # per-bin mean features updated at window boundaries
     mf = samples.get_trace_value("cumulative_mean_features", flat=False)
     assert np.any(mf[-1] != 0)
+
+
+def _exact_bin_feature_means(ens, exact_energies, e_min, bin_size, num_levels):
+    """Exact E[features | bin] over all 2^8 configs (uniform within a bin:
+    every config in a bin shares one energy, and converged WL sampling is
+    uniform over the configurations of each level)."""
+    nfeat = len(ens.natural_parameters)
+    sums = np.zeros((num_levels, nfeat))
+    counts = np.zeros(num_levels)
+    for i, bits in enumerate(product((0, 1), repeat=8)):
+        occ = np.array(bits, dtype=np.int32)
+        b = int((exact_energies[i] - e_min) // bin_size)
+        if 0 <= b < num_levels:
+            sums[b] += np.asarray(ens.compute_feature_vector(occ))
+            counts[b] += 1
+    means = np.divide(
+        sums, counts[:, None], out=np.zeros_like(sums), where=counts[:, None] > 0
+    )
+    return means, counts
+
+
+@pytest.mark.parametrize("path", ["chain", "step"])
+def test_wl_mean_feature_estimator_vs_exact(wl_setup, monkeypatch, path):
+    """Per-bin cumulative mean features converge to the exact conditional
+    means on BOTH WL paths.
+
+    The chain path estimates them from thinning-window boundaries
+    (documented deviation); the per-step XLA path updates every step like
+    the reference (smol/moca/kernel/wanglandau.py:233-238).  On the 8-site
+    NN-pair system the exact per-bin means are enumerable, so this bounds
+    the window-boundary estimator's bias directly (VERDICT r3 weak #5).
+    """
+    if path == "chain":
+        monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = levels[1] - levels[0]
+    lo = e_min - bin_size / 2
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=lo,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        flatness=0.7,
+        check_period=250,
+        nwalkers=4,
+        seed=11,
+        shared_proposals=(path == "chain"),
+    )
+    thin = 100 if path == "chain" else 3000
+    assert (sampler._get_chain_fn(thin) is not None) == (path == "chain")
+    rng = np.random.default_rng(2)
+    occu = rng.integers(0, 2, (4, 8)).astype(np.int32)
+    sampler.run(30000, occu, thin_by=thin)
+    samples = sampler.samples
+
+    num_levels = len(sampler.mckernel._levels)
+    exact_means, config_counts = _exact_bin_feature_means(
+        ens, exact_energies, lo, bin_size, num_levels
+    )
+    mf = samples.get_trace_value("cumulative_mean_features", flat=False)[-1]
+    if path == "chain":
+        counts = samples.get_trace_value(
+            "cumulative_mean_counts", flat=False
+        )[-1]  # [W, B] boundary-sample weights
+    else:
+        counts = samples.get_trace_value("occurrences", flat=False)[-1]
+
+    # average the per-walker estimates (each unbiased) over well-sampled
+    # bins; compare against the exact conditional means
+    checked = 0
+    for b in range(num_levels):
+        if config_counts[b] == 0:
+            continue
+        w_ok = counts[:, b] >= 30
+        if w_ok.sum() < 2:
+            continue
+        est = mf[w_ok, b, :].mean(axis=0)
+        err = np.max(np.abs(est - exact_means[b]))
+        assert err < 0.15, (path, b, est, exact_means[b])
+        checked += 1
+    assert checked >= 4, f"too few well-sampled bins checked ({checked})"
+
+
+def test_wl_aux_hdf5_roundtrip(wl_setup, tmp_path):
+    """Aux records (entropy/histogram planes) stream to HDF5 and reload."""
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = levels[1] - levels[0]
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        nwalkers=2,
+        seed=7,
+    )
+    rng = np.random.default_rng(4)
+    occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
+    fpath = str(tmp_path / "wl_stream.h5")
+    sampler.run(
+        2000, occu, thin_by=500, aux_every=2, stream_chunk=2,
+        stream_file=fpath, keep_last_chunk=True,
+    )
+    from smol_tpu.moca.sampler.container import SampleContainer
+
+    loaded = SampleContainer.from_hdf5(fpath)
+    assert loaded.num_samples == 4
+    assert loaded.num_aux_records == 2
+    np.testing.assert_array_equal(loaded.aux_sample_indices, [1, 3])
+    ent = loaded.get_trace_value("entropy", flat=False)
+    assert ent.shape[:2] == (2, 2) and ent[-1].max() > 0
+    # entropy is monotone non-decreasing across aux records
+    assert (ent[1] >= ent[0] - 1e-12).all()
+    # MSON round trip carries the aux trace too
+    d = loaded.as_dict()
+    from smol_tpu.serial import process_decoded
+
+    again = process_decoded(d)
+    np.testing.assert_allclose(
+        again.get_trace_value("entropy", flat=False), ent
+    )
+    assert again.num_aux_records == 2
 
 
 def test_wl_resume_restores_mean_counts(wl_setup):
@@ -280,10 +414,10 @@ def test_wl_resume_restores_mean_counts(wl_setup):
     occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
     sampler.run(1000, occu, thin_by=500)
     container = sampler.samples
-    trace = container._trace
+    trace = container._aux_trace
     assert hasattr(trace, "cumulative_mean_counts")
     # inject distinct recorded weights, then restore a fresh state
-    last = container.num_samples - 1
+    last = container.num_aux_records - 1
     injected = np.arange(
         trace.cumulative_mean_counts[last].size, dtype=np.int32
     ).reshape(trace.cumulative_mean_counts[last].shape)
