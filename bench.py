@@ -439,11 +439,14 @@ def main():
     elif cfg == "wang-landau":
         # chain-kernel WL runs whole thinning windows per launch; the
         # per-step XLA fallback needs seconds-scale launches (very long
-        # single launches can trip worker execution deadlines)
+        # single launches can trip worker execution deadlines).  WL users
+        # thin sparsely (the result lives in the cumulative aux planes,
+        # recorded lazily), so size for long windows: per-sample trace
+        # transfers over the ~10 MB/s tunnel would otherwise dominate.
         chain_ok = sampler.mckernel.make_chain_fn(1) is not None
         if chain_ok and args.steps is None and not args.smoke:
-            nsteps = 30000  # chain speed needs a longer run to measure
-        thin_by = min(2000 if chain_ok else 500, nsteps)
+            nsteps = 90000  # chain speed needs a longer run to measure
+        thin_by = min(15000 if chain_ok else 500, nsteps)
     rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
     print(
         json.dumps(

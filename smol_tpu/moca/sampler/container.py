@@ -70,6 +70,12 @@ class SampleContainer(MSONable):
         self._naux = 0
         # the (main-trace) sample index each aux record was taken at
         self._aux_indices = np.empty(0, dtype=np.int64)
+        # aux records saved but not yet copied to host: list of
+        # (record dict of device/host arrays, sample_index).  Aux planes
+        # are large (tens of MB for Wang-Landau) and the device->host
+        # link may be slow (tunneled TPU: ~10 MB/s), so records stay
+        # device-resident until something actually reads them.
+        self._aux_pending = []
         self.total_mc_steps_per_sample = 1
         self._backend = None
 
@@ -117,11 +123,12 @@ class SampleContainer(MSONable):
 
     @property
     def num_aux_records(self) -> int:
-        return self._naux
+        return self._naux + len(self._aux_pending)
 
     @property
     def aux_sample_indices(self) -> np.ndarray:
         """Main-trace sample index of each aux record."""
+        self._materialize_aux()
         return self._aux_indices[: self._naux]
 
     # ---------------- trace access ----------------
@@ -139,6 +146,7 @@ class SampleContainer(MSONable):
         samples (aux records are cumulative; the last one is the result).
         """
         if name in self._aux_trace.names:
+            self._materialize_aux()
             value = getattr(self._aux_trace, name)[: self._naux]
         else:
             value = getattr(self._trace, name)[: self._nsamples]
@@ -334,6 +342,11 @@ class SampleContainer(MSONable):
     def save_aux_record(self, record: dict, sample_index: int | None = None):
         """Append one aux record (arrays shaped [nwalkers, ...]).
 
+        The record's arrays may live on device; they are NOT copied to
+        host here.  They stay device-resident (keeping their HBM alive)
+        until the first read of an aux quantity, a backend flush, or
+        serialization — or are dropped wholesale by :meth:`clear`.
+
         Args:
             record: mapping of aux trace names to values for all walkers.
             sample_index: the main-trace sample index this record was taken
@@ -341,24 +354,41 @@ class SampleContainer(MSONable):
         """
         if sample_index is None:
             sample_index = self._nsamples - 1
-        for name, value in record.items():
+        self._aux_pending.append((dict(record), int(sample_index)))
+
+    def _materialize_aux(self):
+        """Copy pending (device-resident) aux records into host storage."""
+        if not self._aux_pending:
+            return
+        pending, self._aux_pending = self._aux_pending, []
+        n_new = len(pending)
+        for name in pending[0][0]:
             target = getattr(self._aux_trace, name)
-            if self._naux >= len(target):
+            if self._naux + n_new > len(target):
                 grown = np.empty(
-                    (max(1, self._naux), *target.shape[1:]), target.dtype
+                    (
+                        max(n_new, self._naux + n_new - len(target)),
+                        *target.shape[1:],
+                    ),
+                    target.dtype,
                 )
                 target = np.concatenate([target[: self._naux], grown])
-            target[self._naux] = value
+            for k, (record, _) in enumerate(pending):
+                target[self._naux + k] = np.asarray(record[name])
             setattr(self._aux_trace, name, target)
-        if self._naux >= len(self._aux_indices):
+        if self._naux + n_new > len(self._aux_indices):
             self._aux_indices = np.concatenate(
                 [
                     self._aux_indices[: self._naux],
-                    np.empty(max(1, self._naux), dtype=np.int64),
+                    np.empty(
+                        max(n_new, self._naux + n_new - len(self._aux_indices)),
+                        dtype=np.int64,
+                    ),
                 ]
             )
-        self._aux_indices[self._naux] = sample_index
-        self._naux += 1
+        for k, (_, sample_index) in enumerate(pending):
+            self._aux_indices[self._naux + k] = sample_index
+        self._naux += n_new
 
     def clear(self):
         """Drop all samples."""
@@ -373,9 +403,11 @@ class SampleContainer(MSONable):
             )
         self._naux = 0
         self._aux_indices = np.empty(0, dtype=np.int64)
+        self._aux_pending = []
 
     def vacuum(self):
         """Trim over-allocated space."""
+        self._materialize_aux()
         for name, value in self._trace.items():
             setattr(self._trace, name, np.ascontiguousarray(value[: self._nsamples]))
         for name, value in self._aux_trace.items():
@@ -445,6 +477,7 @@ class SampleContainer(MSONable):
 
     def flush_to_backend(self, backend):
         """Write buffered samples to the backend and clear memory."""
+        self._materialize_aux()
         start = int(backend.attrs["nsamples"])
         for name, value in self._trace.items():
             backend["trace"][name][start : start + self._nsamples] = value[

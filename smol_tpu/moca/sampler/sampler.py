@@ -203,16 +203,22 @@ class Sampler:
         return record
 
     def _aux_record(self, state):
-        """One aux record (host arrays) from the current device state."""
+        """One aux record from the current device state.
+
+        Returns the state's own (immutable) device arrays: the container
+        defers the host copy until the record is actually read, so saving
+        a record costs nothing on the sampling path (the WL planes are
+        tens of MB and the device link may be a slow tunnel).
+        """
         kernel = self._kernel
         if type(kernel).__name__ != "WangLandau":
             return None
         return {
-            "histogram": np.asarray(state["histogram"]),
-            "occurrences": np.asarray(state["occurrences"]),
-            "entropy": np.asarray(state["entropy"]),
-            "cumulative_mean_features": np.asarray(state["mean_features"]),
-            "cumulative_mean_counts": np.asarray(state["wl_mean_counts"]),
+            "histogram": state["histogram"],
+            "occurrences": state["occurrences"],
+            "entropy": state["entropy"],
+            "cumulative_mean_features": state["mean_features"],
+            "cumulative_mean_counts": state["wl_mean_counts"],
         }
 
     # ---------------- running ----------------

@@ -392,6 +392,53 @@ def test_wl_aux_hdf5_roundtrip(wl_setup, tmp_path):
     assert again.num_aux_records == 2
 
 
+def test_wl_aux_records_stay_on_device_until_read(wl_setup):
+    """save_aux_record defers the host copy; readers materialize it.
+
+    The WL planes are tens of MB, and over a tunneled TPU the
+    device-to-host link runs at ~10 MB/s — a per-run transfer would
+    dominate the sampling time, so records stay device-resident until a
+    getter, backend flush, or serialization actually reads them, and
+    ``clear`` drops unread records without ever copying them.
+    """
+    import jax.numpy as jnp
+
+    ens, exact_energies = wl_setup
+    e_min, e_max = exact_energies.min(), exact_energies.max()
+    levels = np.unique(np.round(exact_energies, 9))
+    bin_size = levels[1] - levels[0]
+    sampler = Sampler.from_ensemble(
+        ens,
+        kernel_type="wang-landau",
+        step_type="flip",
+        min_enthalpy=e_min - bin_size / 2,
+        max_enthalpy=e_max + bin_size,
+        bin_size=bin_size,
+        nwalkers=2,
+        seed=11,
+    )
+    rng = np.random.default_rng(8)
+    occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
+    sampler.run(1000, occu, thin_by=500)
+    container = sampler.samples
+    # the record is pending as device arrays: nothing copied to host yet
+    assert len(container._aux_pending) == 1
+    assert isinstance(container._aux_pending[0][0]["entropy"], jnp.ndarray)
+    assert container.num_aux_records == 1  # counts pending records
+    assert len(getattr(container._aux_trace, "entropy")) == 0
+    # a reader materializes and serves the same values as the state
+    ent = container.get_trace_value("entropy", flat=False)
+    assert not container._aux_pending
+    np.testing.assert_array_equal(
+        ent[-1], np.asarray(sampler._state["entropy"])
+    )
+    # unread records are dropped wholesale by clear
+    sampler.run(1000, thin_by=500)
+    assert len(container._aux_pending) == 1
+    container.clear()
+    assert not container._aux_pending and container.num_aux_records == 0
+
+
 def test_wl_resume_restores_mean_counts(wl_setup):
     """restore_aux_state round-trips the chain-path per-bin mean weights
     (cumulative_mean_counts): restored cumulative means must carry their
@@ -414,6 +461,7 @@ def test_wl_resume_restores_mean_counts(wl_setup):
     occu = rng.integers(0, 2, (2, 8)).astype(np.int32)
     sampler.run(1000, occu, thin_by=500)
     container = sampler.samples
+    container._materialize_aux()  # records are device-resident until read
     trace = container._aux_trace
     assert hasattr(trace, "cumulative_mean_counts")
     # inject distinct recorded weights, then restore a fresh state
