@@ -30,21 +30,32 @@ import time
 import numpy as np
 
 
+# runs per _rate call: one warmup + three timed reps (cumulative state
+# counters like nmove span all of them)
+_RATE_RUNS = 4
+
+
 def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
     """Median attempts/s over reps through Sampler.run (compile excluded).
 
     Prints per-rep diagnostics (rates, std, config) to stderr; the caller
     prints the single JSON result line to stdout.
     """
+    import jax
+
     thin_by = thin_by or nsteps
     t0 = time.perf_counter()
     sampler.run(nsteps, occu, thin_by=thin_by)  # warmup (includes compile)
+    jax.block_until_ready(sampler._state)
     warmup = time.perf_counter() - t0
     rates = []
     for _ in range(reps):
         sampler.clear_samples()
         t0 = time.perf_counter()
         sampler.run(nsteps, thin_by=thin_by)
+        # sample records stay device-resident (lazy container), so run()
+        # no longer blocks on the device; wait for the chain itself
+        jax.block_until_ready(sampler._state)
         rates.append(nwalkers * nsteps / (time.perf_counter() - t0))
     rates = np.array(rates)
     print(
@@ -251,6 +262,10 @@ def main():
         kernel_opts["chain_block_size"] = args.block_size
 
     cfg = args.config
+    if cfg == "canonical" and "chain_block_size" not in kernel_opts:
+        # measured on v5e: the swap chain peaks at block 512 on this
+        # system (208.6M raw vs 203.0M at 1024, 151.7M at 2048)
+        kernel_opts["chain_block_size"] = 512
     if cfg == "canonical":
         ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
         scm = np.diag([2, 2, 2] if args.smoke else [4, 4, 4])
@@ -448,21 +463,30 @@ def main():
             nsteps = 90000  # chain speed needs a longer run to measure
         thin_by = min(15000 if chain_ok else 500, nsteps)
     rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": rate,
-                "unit": "attempts/s",
-                "vs_baseline": rate / 1e8,
-                "platform": jax.default_backend(),
-                "smoke": bool(args.smoke),
-                # the actually-dispatched execution path, sourced from the
-                # sampler's dispatch logic (not prose)
-                "path": sampler.execution_path(thin_by),
-            }
-        )
-    )
+    record = {
+        "metric": metric,
+        "value": rate,
+        "unit": "attempts/s",
+        "vs_baseline": rate / 1e8,
+        "platform": jax.default_backend(),
+        "smoke": bool(args.smoke),
+        # the actually-dispatched execution path, sourced from the
+        # sampler's dispatch logic (not prose)
+        "path": sampler.execution_path(thin_by),
+    }
+    if cfg == "canonical":
+        # the chain kernel's exogenous pair draw proposes identity moves
+        # (same species at both sites); the reference Swap usher proposes
+        # null-free moves, so the comparable number is the kernel-counted
+        # non-null move rate, and vs_baseline is computed from it
+        nmove = float(np.asarray(sampler._state["nmove"], dtype=np.float64).sum())
+        attempts = float(_RATE_RUNS * nsteps) * nwalkers
+        frac = nmove / attempts
+        record["effective_move_fraction"] = frac
+        record["effective_moves_per_sec"] = rate * frac
+        record["vs_baseline"] = rate * frac / 1e8
+        record["vs_baseline_basis"] = "null-free moves (reference-equivalent)"
+    print(json.dumps(record))
     return 0
 
 

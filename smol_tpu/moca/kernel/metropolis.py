@@ -68,6 +68,20 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
             **kwargs,
         )
 
+    def initial_state(self, occupancies) -> dict:
+        import jax.numpy as jnp
+
+        state = super().initial_state(occupancies)
+        from smol_tpu.moca.kernel.mcusher import Swap
+
+        if type(self.mcusher) is Swap:
+            # cumulative non-null proposal count: with the chain kernel's
+            # exogenous pair draw, proposals where both sites hold the
+            # same species are identity moves; this counter makes the
+            # reference-equivalent (null-free) move rate measurable
+            state["nmove"] = jnp.zeros_like(state["naccept"])
+        return state
+
     def _build_fast_tables(self):
         """Zero-gather fast path for Flip/Swap/TableFlip Metropolis.
 

@@ -688,6 +688,10 @@ def _fast_swap_step(t, state, key):
         out["enthalpy"] = state["enthalpy"] + jnp.where(do_swap, dh, 0.0)
         out["accepted"] = accept
         out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
+        if "nmove" in state:
+            # this path conditions the partner on a different species, so
+            # every proposal with an available partner is a real move
+            out["nmove"] = state["nmove"] + has.astype(jnp.int32)
         return out
 
     return step(state, key)

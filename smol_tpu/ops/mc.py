@@ -439,17 +439,18 @@ def _metropolis_step_fn(has_priori: bool):
             occu_new, dh, dfeat = apply_fn(occu, sites, codes, valid)
             exponent = -beta * dh + logp
             accept = _accept_metropolis(k_acc, exponent)
+            is_move = jnp.any(valid)
             occu = jnp.where(accept, occu_new, occu)
             enthalpy = enthalpy + jnp.where(accept, dh, 0.0)
             if features is not None:
                 features = features + jnp.where(
                     accept, dfeat, jnp.zeros_like(dfeat)
                 )
-            return occu, enthalpy, accept, features
+            return occu, enthalpy, accept, features, is_move
 
         keys = jax.random.split(key, state["occupancy"].shape[0])
         has_features = "features" in state
-        occu, enthalpy, accept, features = jax.vmap(
+        occu, enthalpy, accept, features, is_move = jax.vmap(
             step_one, in_axes=(0, 0, 0, 0, 0 if has_features else None)
         )(
             state["occupancy"],
@@ -463,6 +464,9 @@ def _metropolis_step_fn(has_priori: bool):
         out["enthalpy"] = enthalpy
         out["accepted"] = accept
         out["naccept"] = state["naccept"] + accept.astype(jnp.int32)
+        if "nmove" in state:
+            # non-identity proposal count (at least one valid flip)
+            out["nmove"] = state["nmove"] + is_move.astype(jnp.int32)
         if has_features:
             out["features"] = features
         return out

@@ -243,6 +243,98 @@ def make_site_delta(segments, TM, wb):
     return site_delta
 
 
+def make_swap_pair_delta(segments, TM, wb, L, RP):
+    """Build the fused two-site swap energy-delta evaluator.
+
+    Returns ``swap_delta(gm_u, gcat_u, gm_v, gcat_v, occ_bf, a, b, u) ->
+    (dh, dl)``: the double-float TOTAL energy delta of recoloring site u
+    from code ``a`` to ``b`` and site v from ``b`` to ``a`` (a canonical
+    swap), in ONE stacked gather matmul instead of two sequential
+    site_delta calls.  v's t-row must see u's flip already applied; since
+    occ1 = occ + e_u (b - a) is a rank-1 update, the correction is the
+    single column ``gm_v[:, u] * (b - a)`` (extracted by a tiny one-hot
+    matmul) — no second [L, RP] x [RP, wb] pass over the updated
+    occupancy.  All operands are small integers, exact in bf16/f32, so
+    the result is bit-identical to the two-pass evaluation.
+    """
+
+    def swap_delta(gm_u, gcat_u, gm_v, gcat_v, occ_bf, a, b, u):
+        big = jnp.concatenate([gm_u, gm_v], axis=0)  # [2L, RP] bf16
+        t_all = jax.lax.dot(
+            big, occ_bf, preferred_element_type=jnp.float32
+        )  # [2L, wb] f32, exact
+        e_u = (
+            jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) == u
+        ).astype(jnp.bfloat16)
+        corr = jax.lax.dot(
+            gm_v, e_u, preferred_element_type=jnp.float32
+        )  # [L, 1] = gm_v[:, u]
+        diff = b - a  # [1, wb] f32; zero for null pairs -> delta 0
+        dh_t = jnp.zeros((1, wb), jnp.float32)
+        dl_t = dh_t
+        for (l0, l1, ext_s) in segments:
+            ls = l1 - l0
+            d2_u = jax.lax.broadcast_in_dim(
+                gcat_u[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
+            )
+            d2_v = jax.lax.broadcast_in_dim(
+                gcat_v[l0:l1, 2 * TM: 2 * TM + 1], (ls, wb), (0, 1)
+            )
+            t_u = t_all[l0:l1]
+            t_v = t_all[L + l0: L + l1] + corr[l0:l1] * diff
+            # stacked [2ls, wb]: u recolors a -> b, v recolors b -> a
+            t_old = jnp.concatenate([t_u + a * d2_u, t_v + b * d2_v], axis=0)
+            t_new = jnp.concatenate([t_u + b * d2_u, t_v + a * d2_v], axis=0)
+            zero = jnp.zeros((2 * ls, wb), jnp.float32)
+            hn = zero
+            ho = zero
+            ln_ = zero
+            lo_ = zero
+            for tt in range(ext_s):
+                ttf = jnp.float32(tt)
+                ghc = jnp.concatenate(
+                    [
+                        jax.lax.broadcast_in_dim(
+                            gcat_u[l0:l1, tt: tt + 1], (ls, wb), (0, 1)
+                        ),
+                        jax.lax.broadcast_in_dim(
+                            gcat_v[l0:l1, tt: tt + 1], (ls, wb), (0, 1)
+                        ),
+                    ],
+                    axis=0,
+                )
+                glc = jnp.concatenate(
+                    [
+                        jax.lax.broadcast_in_dim(
+                            gcat_u[l0:l1, TM + tt: TM + tt + 1], (ls, wb), (0, 1)
+                        ),
+                        jax.lax.broadcast_in_dim(
+                            gcat_v[l0:l1, TM + tt: TM + tt + 1], (ls, wb), (0, 1)
+                        ),
+                    ],
+                    axis=0,
+                )
+                mn = t_new == ttf
+                mo = t_old == ttf
+                hn = jnp.where(mn, ghc, hn)
+                ho = jnp.where(mo, ghc, ho)
+                ln_ = jnp.where(mn, glc, ln_)
+                lo_ = jnp.where(mo, glc, lo_)
+            dh, dl = _df_add(hn, ln_, -ho, -lo_)
+            width = 2 * ls  # power-of-two stacked tree reduction sums u + v
+            while width > 1:
+                half = width // 2
+                dh, dl = _df_add(
+                    dh[:half, :], dl[:half, :],
+                    dh[half:width, :], dl[half:width, :],
+                )
+                width = half
+            dh_t, dl_t = _df_add(dh_t, dl_t, dh, dl)
+        return dh_t, dl_t  # [1, wb]
+
+    return swap_delta
+
+
 def build_chain_tables(processor, sublattices, mu_table=None,
                        sublattice_probabilities=None):
     """Build ChainTables, or None when the system is unsupported.
@@ -882,6 +974,14 @@ def make_shared_proposal_chain(
              occ_out, ehi_out, elo_out, nacc_out,
              enth_out, entl_out, hist_out, occr_out, modf_out, cnt_out,
              *scratch) = rest
+        elif swap:
+            # swap chains also count non-null proposals (species differ):
+            # the exogenous pair draw proposes identity moves, and the
+            # reference Swap usher's rate is in null-free moves
+            (occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref, nmove_ref,
+             gm_ref, gcat_ref, mu_ref, ewv_ref,
+             occ_out, ehi_out, elo_out, nacc_out, nmove_out,
+             *scratch) = rest
         else:
             (occ_ref, beta_ref, ehi_ref, elo_ref, nacc_ref,
              gm_ref, gcat_ref, mu_ref, ewv_ref,
@@ -956,6 +1056,8 @@ def make_shared_proposal_chain(
             )
 
         site_delta = make_site_delta(segments, TM, wb)
+        if swap and not table:
+            swap_pair_delta = make_swap_pair_delta(segments, TM, wb, L, RP)
 
         def ewald_delta(r, sign, occ_x):
             """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""
@@ -1100,6 +1202,8 @@ def make_shared_proposal_chain(
                 (occ, ehi, elo, nacc,
                  enth, entl, hist, occr, modf, cnt,
                  w_cur, b_cur, sch, scl) = carry
+            elif swap:
+                occ, ehi, elo, nacc, nmove = carry
             else:
                 occ, ehi, elo, nacc = carry  # occ [RP, wb] f32 codes
             u = seq_ref[block, i]  # scalar rank
@@ -1129,16 +1233,13 @@ def make_shared_proposal_chain(
                 av = select_code(occ, v)
                 b = av  # u takes v's species, v takes u's
                 is_move = a != av  # [1, wb] bool; null pairs are identity
-                d1h, d1l = site_delta(gm_u, gcat_u, occ_bf, a, b)
-                # v's delta is evaluated with u's flip already applied
-                u_rows = jnp.broadcast_to(iota_r == u, (RP, wb))
-                occ1_bf = jnp.where(
-                    u_rows, jnp.broadcast_to(b, (RP, wb)).astype(jnp.bfloat16),
-                    occ_bf,
+                # both sites' deltas in one stacked gather matmul; v's
+                # post-u-flip occupancy enters as a rank-1 correction
+                dh, dl = swap_pair_delta(
+                    gm_u, gcat_u, gm_v, gcat_v, occ_bf, a, b, u
                 )
-                d2h, d2l = site_delta(gm_v, gcat_v, occ1_bf, av, a)
-                dh, dl = _df_add(d1h, d1l, d2h, d2l)
                 if has_ewald:
+                    u_rows = jnp.broadcast_to(iota_r == u, (RP, wb))
                     occ1 = jnp.where(
                         u_rows, jnp.broadcast_to(b, (RP, wb)), occ
                     )
@@ -1204,6 +1305,8 @@ def make_shared_proposal_chain(
                 ehi, elo, jnp.where(accept, dh, zf), jnp.where(accept, dl, zf)
             )
             nacc = nacc + accept.astype(jnp.int32)
+            if swap and not is_wl:
+                nmove = nmove + is_move.astype(jnp.int32)
             if is_wl:
                 # post-step bookkeeping at the (possibly updated) current
                 # state, mirroring ops.mc._wl_step / reference
@@ -1279,6 +1382,8 @@ def make_shared_proposal_chain(
                 return (occ, ehi, elo, nacc,
                         enth, entl, hist, occr, modf, cnt,
                         w_cur, b_cur, sch, scl)
+            if swap:
+                return occ, ehi, elo, nacc, nmove
             return occ, ehi, elo, nacc
 
         carry = (occ_ref[:], ehi_ref[:], elo_ref[:], nacc_ref[:])
@@ -1290,6 +1395,8 @@ def make_shared_proposal_chain(
                 w0, b0,
                 bin_select(enth_ref[:], b0), bin_select(entl_ref[:], b0),
             )
+        elif swap:
+            carry = carry + (nmove_ref[:],)
         carry = jax.lax.fori_loop(
             jnp.int32(0), nvalid_ref[0], step, carry
         )
@@ -1312,6 +1419,8 @@ def make_shared_proposal_chain(
             occr_out[:] = carry[7]
             modf_out[:] = carry[8]
             cnt_out[:] = carry[9]
+        elif swap:
+            nmove_out[:] = carry[4]
 
     rank_sites = t.rank_sites  # [R] int32
     ncod_dev = t.ncod
@@ -1396,6 +1505,10 @@ def make_shared_proposal_chain(
             jax.ShapeDtypeStruct((1, Wp), jnp.float32),
             jax.ShapeDtypeStruct((1, Wp), jnp.int32),
         )
+        if swap and not is_wl:
+            out_shapes = out_shapes + (
+                jax.ShapeDtypeStruct((1, Wp), jnp.int32),  # nmove
+            )
         if is_wl:
             ent_t = jnp.pad(
                 state["entropy"], ((0, pad), (0, BP - NB))
@@ -1450,8 +1563,8 @@ def make_shared_proposal_chain(
 
             wl_specs = (
                 [blk(BP), blk(BP), blk(BP), blk(BP), blk(1), blk(1)]
-                if is_wl else []
-            )
+                if is_wl else ([blk(1)] if swap else [])
+            )  # WL state planes, or the swap non-null move counter
 
             def chunk_body(carry, xs):
                 occ_c, ehi_c, elo_c, nacc_c = carry[:4]
@@ -1514,6 +1627,8 @@ def make_shared_proposal_chain(
             )
             if is_wl:
                 carry0 = carry0 + (enth0, entl0, hist0, occr0, modf0, cnt0)
+            elif swap:
+                carry0 = carry0 + (jnp.zeros((1, Wp), jnp.int32),)
             if n_chunks == 1:
                 outs_n, _ = chunk_body(
                     carry0, (seeds[0], nvalid[0], seqs[0], vseqs[0])
@@ -1538,6 +1653,11 @@ def make_shared_proposal_chain(
             # introducing one would change the output pytree structure vs
             # the input and force jitted callers to recompile on reuse
             out["window_naccept"] = state["window_naccept"] + nacc_w
+        if swap and not is_wl and "nmove" in state:
+            # cumulative non-null (species-differ) proposal count, the
+            # reference-equivalent move count for canonical swaps (same
+            # pre-existing-key rule as window_naccept)
+            out["nmove"] = state["nmove"] + outs_n[4][0, :W]
         if is_wl:
             enth_n, entl_n, hist_n, occr_n, modf_n, cnt_n = outs_n[4:10]
             out["entropy"] = (

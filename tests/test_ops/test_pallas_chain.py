@@ -130,6 +130,43 @@ def test_accum_parity_ternary_canonical_swap():
     _accum_parity(ens, move="swap")
 
 
+def test_swap_chain_counts_nonnull_moves():
+    """The swap chain's nmove counter = proposals where species differ.
+
+    The exogenous pair draw proposes identity moves (~50% for a balanced
+    binary); nmove counts the reference-equivalent (null-free) moves so
+    benchmarks can report a rate comparable to the reference Swap usher
+    (smol/moca/kernel/mcusher.py:209, which conditions the partner).
+    """
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    nwalkers, n_steps = 8, 200
+    sampler = Sampler.from_ensemble(
+        ens, temperature=900.0, nwalkers=nwalkers, seed=3
+    )
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices
+    )
+    occu = _random_occu(ens, nwalkers)
+    occu[0, :] = 0  # walker 0: single species -> every swap is null
+    state = _chain_state(sampler, occu)
+    assert "nmove" in state  # seeded by Metropolis.initial_state for Swap
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, n_steps, block_size=nwalkers, interpret=True, move="swap",
+    )
+    out = fn(state, jax.random.key(0))
+    nmove = np.asarray(out["nmove"])
+    nacc = np.asarray(out["naccept"])
+    assert nmove[0] == 0 and nacc[0] == 0
+    # mixed walkers: some but not all proposals are real moves, and every
+    # accepted move was a real move
+    assert (nmove[1:] > 0).all() and (nmove[1:] < n_steps).all()
+    assert (nacc <= nmove).all()
+    # balanced binary: the non-null fraction concentrates near 1/2
+    frac = nmove[1:].mean() / n_steps
+    assert 0.3 < frac < 0.7, frac
+
+
 def test_canonical_swap_matches_enumeration(monkeypatch):
     """Chain-kernel canonical averages match exact fixed-composition sums.
 
