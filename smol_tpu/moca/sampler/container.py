@@ -76,8 +76,20 @@ class SampleContainer(MSONable):
         # link may be slow (tunneled TPU: ~10 MB/s), so records stay
         # device-resident until something actually reads them.
         self._aux_pending = []
+        # sampled-trace batches saved but not yet copied to host: list of
+        # (dict of arrays [k, nwalkers, ...], k).  Like aux records, the
+        # per-launch device->host copy would sit inside the sampling loop
+        # (tunneled TPU: ~10 MB/s), so batches stay device-resident until
+        # a reader materializes them — bounded by _PENDING_BYTES_MAX so
+        # long runs cannot pin unbounded HBM.
+        self._pending_samples = []
+        self._pending_nsamples = 0
+        self._pending_bytes = 0
         self.total_mc_steps_per_sample = 1
         self._backend = None
+
+    # keep at most this many buffered device bytes before forcing a copy
+    _PENDING_BYTES_MAX = 256 << 20
 
     # ---------------- basic properties ----------------
 
@@ -99,11 +111,11 @@ class SampleContainer(MSONable):
 
     @property
     def num_samples(self) -> int:
-        return self._nsamples
+        return self._nsamples + self._pending_nsamples
 
     @property
     def total_mc_steps(self) -> int:
-        return self.total_mc_steps_per_sample * self._nsamples
+        return self.total_mc_steps_per_sample * self.num_samples
 
     @property
     def shape(self) -> tuple:
@@ -149,6 +161,7 @@ class SampleContainer(MSONable):
             self._materialize_aux()
             value = getattr(self._aux_trace, name)[: self._naux]
         else:
+            self._materialize_samples()
             value = getattr(self._trace, name)[: self._nsamples]
         value = value[discard + thin_by - 1 :: thin_by]
         return self._flatten(value) if flat else value
@@ -321,6 +334,7 @@ class SampleContainer(MSONable):
 
     def save_sampled_trace(self, trace, thinned_by: int = 1):
         """Append one sampled trace (arrays shaped [nwalkers, ...])."""
+        self._materialize_samples()
         if self._nsamples >= len(self._trace.occupancy):
             self.allocate(max(1, self._nsamples))
         for name, value in trace.items():
@@ -329,15 +343,42 @@ class SampleContainer(MSONable):
         self.total_mc_steps_per_sample = thinned_by
 
     def save_sampled_traces(self, traces, thinned_by: int = 1):
-        """Append a batch of samples (arrays shaped [nsamples, nwalkers, ...])."""
-        n_new = len(traces.occupancy)
+        """Append a batch of samples (arrays shaped [nsamples, nwalkers, ...]).
+
+        The batch's arrays may live on device; they are NOT copied to host
+        here (see ``_pending_samples``).  The first read of any sampled
+        quantity, a backend flush, or serialization materializes them;
+        batches exceeding ``_PENDING_BYTES_MAX`` in aggregate are copied
+        eagerly so long runs cannot pin unbounded device memory.
+        """
+        batch = dict(traces.items())
+        n_new = len(batch["occupancy"])
+        self._pending_samples.append((batch, n_new))
+        self._pending_nsamples += n_new
+        self._pending_bytes += sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize for v in batch.values()
+        )
+        self.total_mc_steps_per_sample = thinned_by
+        if self._pending_bytes > self._PENDING_BYTES_MAX:
+            self._materialize_samples()
+
+    def _materialize_samples(self):
+        """Copy pending (device-resident) sample batches into host storage."""
+        if not self._pending_samples:
+            return
+        pending, self._pending_samples = self._pending_samples, []
+        self._pending_nsamples = 0
+        self._pending_bytes = 0
+        n_new = sum(n for _, n in pending)
         if self._nsamples + n_new > len(self._trace.occupancy):
             self.allocate(self._nsamples + n_new - len(self._trace.occupancy))
-        for name, value in traces.items():
+        for name in pending[0][0]:
             target = getattr(self._trace, name)
-            target[self._nsamples : self._nsamples + n_new] = value
+            at = self._nsamples
+            for batch, n in pending:
+                target[at : at + n] = np.asarray(batch[name])
+                at += n
         self._nsamples += n_new
-        self.total_mc_steps_per_sample = thinned_by
 
     def save_aux_record(self, record: dict, sample_index: int | None = None):
         """Append one aux record (arrays shaped [nwalkers, ...]).
@@ -353,7 +394,7 @@ class SampleContainer(MSONable):
                 at (defaults to the latest sample).
         """
         if sample_index is None:
-            sample_index = self._nsamples - 1
+            sample_index = self.num_samples - 1
         self._aux_pending.append((dict(record), int(sample_index)))
 
     def _materialize_aux(self):
@@ -404,10 +445,14 @@ class SampleContainer(MSONable):
         self._naux = 0
         self._aux_indices = np.empty(0, dtype=np.int64)
         self._aux_pending = []
+        self._pending_samples = []
+        self._pending_nsamples = 0
+        self._pending_bytes = 0
 
     def vacuum(self):
         """Trim over-allocated space."""
         self._materialize_aux()
+        self._materialize_samples()
         for name, value in self._trace.items():
             setattr(self._trace, name, np.ascontiguousarray(value[: self._nsamples]))
         for name, value in self._aux_trace.items():
@@ -478,6 +523,7 @@ class SampleContainer(MSONable):
     def flush_to_backend(self, backend):
         """Write buffered samples to the backend and clear memory."""
         self._materialize_aux()
+        self._materialize_samples()
         start = int(backend.attrs["nsamples"])
         for name, value in self._trace.items():
             backend["trace"][name][start : start + self._nsamples] = value[
@@ -562,7 +608,7 @@ class SampleContainer(MSONable):
         return container
 
     def __len__(self):
-        return self._nsamples
+        return self.num_samples
 
     def as_dict(self) -> dict:
         self.vacuum()

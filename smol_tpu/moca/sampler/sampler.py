@@ -469,12 +469,11 @@ class Sampler:
                         self._state, subkey, step_fn, record_fn, int(launch),
                         int(thin_by),
                     )
-                host_traces = Trace(
-                    **{k: np.asarray(v) for k, v in traces.items()}
-                )
-                elapsed = _time.perf_counter() - t_launch
+                # device arrays pass through; the container keeps them
+                # device-resident until something reads them, so the
+                # sampling loop never blocks on the device->host link
                 self._container.save_sampled_traces(
-                    host_traces, thinned_by=thin_by
+                    Trace(**dict(traces.items())), thinned_by=thin_by
                 )
                 done += launch
                 since_flush += launch
@@ -492,11 +491,15 @@ class Sampler:
                     self._container.flush_to_backend(backend)
                     since_flush = 0
                 if progress:
+                    # dispatch is async; wait so the printed rate reflects
+                    # device work, not enqueue time (only when reporting)
+                    jax.block_until_ready(self._state)
+                    elapsed = _time.perf_counter() - t_launch
                     attempts = launch * thin_by * self._nwalkers
                     print(
                         f"sampled {done}/{nsamples} (x{thin_by} steps, "
                         f"{attempts / max(elapsed, 1e-9) / 1e6:.1f} M "
-                        f"attempts/s incl. host transfer)"
+                        f"attempts/s)"
                     )
 
         if backend is not None:
