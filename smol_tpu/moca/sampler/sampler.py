@@ -271,6 +271,8 @@ class Sampler:
                 from smol_tpu.ops import pallas_chain
 
                 t = built[0]
+                if t.ising:
+                    parts.append("ising")
                 table_bytes = 2 * t.gm.size + 4 * t.gcat.size
                 parts.append(
                     "streamed-tables"

@@ -51,6 +51,7 @@ in-VMEM fori_loop.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -141,6 +142,16 @@ class ChainTables:
     has_ewald: bool
     ew_v: jnp.ndarray | None  # [R, 2, Rpad] f32: V_hi | V_lo rows
     ew_c: jnp.ndarray | None  # [1, 2*R] f32 SMEM: C_hi | C_lo constants
+    # Ising fast path (binary sites + sign-symmetric site basis): every
+    # local-cluster tensor row is A * (-1)^popcount(index), so the
+    # TM-column g-plane select collapses to a parity sign flip.  In this
+    # mode ``gm`` holds 0/1 membership parities (slot count mod 2 per
+    # neighbor rank), and ``gcat`` columns 0 / TM hold the df amplitude
+    # A' = A * (self slot count mod 2); all other columns are zero.  The
+    # substituted Hamiltonian matches the packed tensors to <= 1e-11
+    # relative (product-rounding differences only); window-boundary
+    # feature recomputes always use the exact tensors.
+    ising: bool = False
 
 
 def _hash_uniform01(seed, i, slot, shape):
@@ -335,6 +346,150 @@ def make_swap_pair_delta(segments, TM, wb, L, RP):
     return swap_delta
 
 
+def _mod2(x):
+    """Exact parity of a small-integer-valued f32 plane (negatives ok)."""
+    return x - 2.0 * jnp.floor(x * 0.5)
+
+
+def make_site_delta_ising(TM, wb):
+    """Ising-factorized site delta: parity sign flip instead of a select.
+
+    For binary sites with a sign-symmetric basis every local tensor row
+    is ``A * (-1)^popcount(index)``, so recoloring the self site from
+    ``a`` to ``b`` changes the row value by ``-2 (b - a) A (-1)^t01``
+    with ``t01`` the neighbor-membership parity — computed by the same
+    gather matmul (gm holds 0/1 parities), no TM-column select loop.
+    Rows whose self slot count is even (or padding) carry A' = 0.
+    Exact: products/scalings by {0, +-1, +-2} are lossless in f32.
+    """
+
+    def site_delta(gm_x, gcat_x, occ_bf, a, b):
+        L = gm_x.shape[0]
+        t01 = jax.lax.dot(
+            gm_x, occ_bf, preferred_element_type=jnp.float32
+        )  # [L, wb] neighbor parity counts, exact
+        s = 1.0 - 2.0 * _mod2(t01)  # (-1)^t01
+        ah = jax.lax.broadcast_in_dim(gcat_x[:, 0:1], (L, wb), (0, 1))
+        al = jax.lax.broadcast_in_dim(gcat_x[:, TM: TM + 1], (L, wb), (0, 1))
+        dh = ah * s
+        dl = al * s
+        width = L
+        while width > 1:
+            half = width // 2
+            dh, dl = _df_add(
+                dh[:half, :], dl[:half, :],
+                dh[half:width, :], dl[half:width, :],
+            )
+            width = half
+        scale = -2.0 * (b - a)  # [1, wb] in {-2, 0, +2}: exact df scaling
+        return dh * scale, dl * scale
+
+    return site_delta
+
+
+def make_swap_pair_delta_ising(TM, wb, L, RP):
+    """Fused two-site Ising swap delta (see make_swap_pair_delta).
+
+    u recolors a -> b and v recolors b -> a; v's parity sees u's flip
+    through the 0/1 membership column ``gm_v[:, u]`` (rank-1, exact).
+    The total is ``-2 (b - a) * (sum_u A s_u - sum_v A s_v)``, reduced
+    as one stacked [2L, wb] df tree.
+    """
+
+    def swap_delta(gm_u, gcat_u, gm_v, gcat_v, occ_bf, a, b, u):
+        big = jnp.concatenate([gm_u, gm_v], axis=0)  # [2L, RP] bf16
+        t_all = jax.lax.dot(
+            big, occ_bf, preferred_element_type=jnp.float32
+        )  # [2L, wb]
+        e_u = (
+            jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) == u
+        ).astype(jnp.bfloat16)
+        corr = jax.lax.dot(
+            gm_v, e_u, preferred_element_type=jnp.float32
+        )  # [L, 1] = u's membership parity in v's rows
+        diff = b - a  # [1, wb]; zero for null pairs -> delta 0
+        s_u = 1.0 - 2.0 * _mod2(t_all[:L])
+        s_v = 1.0 - 2.0 * _mod2(t_all[L:] + corr * diff)
+        ah_u = jax.lax.broadcast_in_dim(gcat_u[:, 0:1], (L, wb), (0, 1))
+        al_u = jax.lax.broadcast_in_dim(gcat_u[:, TM: TM + 1], (L, wb), (0, 1))
+        ah_v = jax.lax.broadcast_in_dim(gcat_v[:, 0:1], (L, wb), (0, 1))
+        al_v = jax.lax.broadcast_in_dim(gcat_v[:, TM: TM + 1], (L, wb), (0, 1))
+        dh = jnp.concatenate([ah_u * s_u, -(ah_v * s_v)], axis=0)
+        dl = jnp.concatenate([al_u * s_u, -(al_v * s_v)], axis=0)
+        width = 2 * L
+        while width > 1:
+            half = width // 2
+            dh, dl = _df_add(
+                dh[:half, :], dl[:half, :],
+                dh[half:width, :], dl[half:width, :],
+            )
+            width = half
+        scale = -2.0 * diff
+        return dh * scale, dl * scale
+
+    return swap_delta
+
+
+def _ising_tables(rank_sites, rank_of_site, sites3, strides3, g3,
+                  valid_cluster, L0, L, rpad, tmax):
+    """Detect the Ising-factorizable tensor pattern and build its tables.
+
+    Returns ``(gm01 [R, L, rpad] f64, amp [R, L] f64)`` when EVERY valid
+    local-cluster row satisfies ``g3[row, t] == A * (-1)^popcount(t)``
+    on its reachable indices to <= 1e-11 relative (the reachable set is
+    enumerated per SITE group so multi-slot sites flip jointly), else
+    None.  ``amp`` is 0 for rows with an even self slot count (the flip
+    cancels) and for padding.
+    """
+    R = len(rank_sites)
+    K = sites3.shape[2]
+    gm01 = np.zeros((R, L, rpad), dtype=np.float64)
+    amp = np.zeros((R, L), dtype=np.float64)
+    for ri, site in enumerate(rank_sites):
+        for l in range(L0):
+            if not valid_cluster[site, l]:
+                continue
+            row = g3[site, l]
+            a0 = row[0]
+            # group positive-stride slots by member site
+            groups = {}  # member site -> [stride sum, slot count]
+            for k in range(K):
+                st = strides3[site, l, k]
+                if st <= 0:
+                    continue
+                entry = groups.setdefault(int(sites3[site, l, k]), [0, 0])
+                entry[0] += int(st)
+                entry[1] += 1
+            self_ssum, self_cnt = groups.pop(int(site), [0, 0])
+            # frozen single-code neighbors never flip: drop from the
+            # reachable enumeration (their bits stay 0)
+            members = [
+                (ssum, cnt)
+                for s_m, (ssum, cnt) in groups.items()
+                if rank_of_site[s_m] >= 0
+            ]
+            # verify the pattern on all reachable indices (incl. self)
+            tol = 1e-11 * max(abs(a0), 1e-300)
+            combos = [(0, 0)]
+            for ssum, cnt in members + (
+                [(self_ssum, self_cnt)] if self_cnt else []
+            ):
+                combos = [
+                    (t + c * ssum, p + c * cnt)
+                    for (t, p) in combos
+                    for c in (0, 1)
+                ]
+            for t, p in combos:
+                if t >= tmax or abs(row[t] - a0 * (-1.0) ** p) > tol:
+                    return None
+            amp[ri, l] = a0 if self_cnt % 2 else 0.0
+            for s_m, (ssum, cnt) in groups.items():
+                nr = rank_of_site[s_m]
+                if nr >= 0:
+                    gm01[ri, l, nr] = float(cnt % 2)
+    return gm01, amp
+
+
 def build_chain_tables(processor, sublattices, mu_table=None,
                        sublattice_probabilities=None):
     """Build ChainTables, or None when the system is unsupported.
@@ -467,6 +622,24 @@ def build_chain_tables(processor, sublattices, mu_table=None,
 
     sub_n_codes = np.array([len(s.encoding) for s in active], dtype=np.int64)
     binary = bool((sub_n_codes == 2).all())
+
+    # Ising fast path: binary sites + sign-symmetric basis tensors (see
+    # ChainTables.ising).  Opt out with SMOL_TPU_CHAIN_NO_ISING=1.
+    ising = False
+    if binary and os.environ.get("SMOL_TPU_CHAIN_NO_ISING") != "1":
+        built = _ising_tables(
+            rank_sites, rank_of_site, sites3, strides3, g3,
+            valid_cluster, L0, L, rpad, tmax,
+        )
+        if built is not None:
+            gm01, amp = built
+            amp_h, amp_l = _split_f64(amp)
+            gcat = np.zeros((R, L, 2 * tmax + 1), dtype=np.float32)
+            gcat[:, :, 0] = amp_h
+            gcat[:, :, tmax] = amp_l
+            gm = gm01
+            segments = ((0, L, 1),)
+            ising = True
     ncod = np.ones((1, R), dtype=np.int32)
     off = 0
     nact = np.array([len(s.active_sites) for s in active], dtype=np.int64)
@@ -566,6 +739,7 @@ def build_chain_tables(processor, sublattices, mu_table=None,
         n_local=L,
         tensor_max=tmax,
         binary=binary,
+        ising=ising,
         segments=segments,
         gm=jnp.asarray(gm, dtype=jnp.bfloat16),
         gcat=jnp.asarray(gcat),
@@ -1055,9 +1229,16 @@ def make_shared_proposal_chain(
                 jnp.where(iota_r == r, occ, 0.0), axis=0, keepdims=True
             )
 
-        site_delta = make_site_delta(segments, TM, wb)
+        if t.ising:
+            site_delta = make_site_delta_ising(TM, wb)
+        else:
+            site_delta = make_site_delta(segments, TM, wb)
         if swap and not table:
-            swap_pair_delta = make_swap_pair_delta(segments, TM, wb, L, RP)
+            swap_pair_delta = (
+                make_swap_pair_delta_ising(TM, wb, L, RP)
+                if t.ising
+                else make_swap_pair_delta(segments, TM, wb, L, RP)
+            )
 
         def ewald_delta(r, sign, occ_x):
             """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""

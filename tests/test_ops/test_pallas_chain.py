@@ -130,6 +130,71 @@ def test_accum_parity_ternary_canonical_swap():
     _accum_parity(ens, move="swap")
 
 
+def test_ising_fast_path_matches_select_path(monkeypatch):
+    """Ising parity chain == tensor-select chain, step for step.
+
+    Binary sites with a sign-symmetric basis dispatch the Ising fast
+    path (ChainTables.ising: parity sign flips instead of the TM-column
+    g-plane select).  On the same PRNG stream it must reproduce the
+    select path's trajectories exactly and enthalpies to the table
+    construction tolerance (<= 1e-11 relative amplitude rounding).
+    """
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens_mu = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.3, "Cu": 0.0}
+    )
+    ens_cn = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    results = {}
+    for mode in ("ising", "select"):
+        monkeypatch.setenv(
+            "SMOL_TPU_CHAIN_NO_ISING", "1" if mode == "select" else "0"
+        )
+        for move, ens in (("flip", ens_mu), ("swap", ens_cn)):
+            sampler = Sampler.from_ensemble(
+                ens, temperature=900.0, nwalkers=8, seed=3
+            )
+            tables = pallas_chain.build_chain_tables(
+                ens.processor,
+                ens.sublattices,
+                mu_table=(
+                    ens.chemical_potential_table if move == "flip" else None
+                ),
+            )
+            assert tables.ising == (mode == "ising"), (mode, move)
+            occu = _random_occu(ens, 8)
+            state = _chain_state(sampler, occu)
+            fn = pallas_chain.make_shared_proposal_chain(
+                tables, 150, block_size=8, interpret=True, move=move
+            )
+            out = fn(state, jax.random.key(0))
+            results[(mode, move)] = (
+                np.asarray(out["occupancy"]),
+                np.asarray(out["enthalpy"]),
+                np.asarray(out["naccept"]),
+            )
+    for move in ("flip", "swap"):
+        o1, e1, n1 = results[("ising", move)]
+        o0, e0, n0 = results[("select", move)]
+        np.testing.assert_array_equal(o1, o0, err_msg=move)
+        np.testing.assert_array_equal(n1, n0, err_msg=move)
+        np.testing.assert_allclose(e1, e0, rtol=0, atol=1e-9, err_msg=move)
+
+
+def test_ising_detection_requires_binary_symmetric():
+    """Ternary systems (and non-factorizable tensors) stay on the
+    tensor-select path: detection must not trigger."""
+    ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]),
+        chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05},
+    )
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices,
+        mu_table=ens.chemical_potential_table,
+    )
+    assert tables is not None and not tables.ising
+
+
 def test_swap_chain_counts_nonnull_moves():
     """The swap chain's nmove counter = proposals where species differ.
 
