@@ -18,8 +18,20 @@ from smol_tpu.cofe.expansion import ClusterExpansion, RegressionData
 from smol_tpu.crystal.entries import ComputedStructureEntry
 from smol_tpu.moca.processor.expansion import ClusterExpansionProcessor
 
-# 1. the disordered primitive cell and a subspace from cutoffs
+# 1. the disordered primitive cell and a subspace from cutoffs.  A real
+# workflow starts from a structure file; round-trip through CIF to demo
+# the file path (CIF carries the partial occupancies; ordered cells can
+# use POSCAR: Structure.from_file("POSCAR"))
+import os
+import tempfile
+
+from smol_tpu.crystal import Structure
+
 prim = fcc_binary_prim()  # FCC 50/50 Au-Cu
+with tempfile.TemporaryDirectory() as td:
+    cif = os.path.join(td, "prim.cif")
+    prim.to(filename=cif)
+    prim = Structure.from_file(cif)
 subspace = ClusterSubspace.from_cutoffs(prim, {2: 5.0, 3: 3.5})
 print(f"subspace: {subspace.num_orbits} orbits, "
       f"{subspace.num_corr_functions} correlation functions")
