@@ -263,8 +263,9 @@ def main():
 
     cfg = args.config
     if cfg == "canonical" and "chain_block_size" not in kernel_opts:
-        # measured on v5e: the swap chain peaks at block 512 on this
-        # system (208.6M raw vs 203.0M at 1024, 151.7M at 2048)
+        # measured on v5e: the swap chain is flat across 512/1024 and
+        # drops at 256 and 2048 (ising path: 362M at 512; select path:
+        # 169/171/144/132M at 512/1024/256/2048)
         kernel_opts["chain_block_size"] = 512
     if cfg == "canonical":
         ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
