@@ -330,3 +330,71 @@ def test_size_constraints_from_sites():
     m = StructureMatcher()
     scm = m.get_supercell_matrix(squeezed, prim)
     assert scm is not None and round(abs(np.linalg.det(scm))) == 4
+
+
+def test_avg_lattice_metric_pymatgen_semantics(fcc_setup):
+    """Displacements are judged in the AVERAGED lattice, not the ideal one.
+
+    pymatgen's _cart_dists measures site displacements in the average of
+    the two volume-equalized lattices; when the relaxed cell contracts
+    an axis and the displacement field follows that axis, the averaged
+    metric is materially looser than the ideal supercell metric (the
+    cause of the round-3/round-4 DRX recall gap: structures the
+    reference maps sat 2-25% outside stol in the ideal metric).  This
+    constructs such a case and requires (a) the mapping to exist and
+    (b) the margin arithmetic to confirm it would fail in the ideal
+    metric — pinning the semantic, not just the outcome.
+    """
+    prim, subspace, scm, structure, _ = fcc_setup
+    matcher = StructureMatcher(ltol=0.2, stol=0.3, angle_tol=6)
+    supercell = prim.copy().make_supercell(scm)
+    lat1 = supercell.lattice.matrix
+    # contract z by 14% (within ltol), volume-compensate x/y so only the
+    # anisotropy differs; displace ONE site along z just past the ideal
+    # metric's tolerance but inside the averaged metric's
+    strain = np.diag([0.0724, 0.0724, -0.14])
+    lat2 = lat1 @ (np.eye(3) + strain)
+    vol1 = abs(np.linalg.det(lat1))
+    max_d = matcher.stol * (vol1 / len(supercell)) ** (1 / 3)
+    frac = supercell.frac_coords.copy()
+    d_cart = 1.04 * max_d  # 4% outside the ideal metric
+    frac[0] = frac[0] + np.array([0.0, 0.0, d_cart]) @ np.linalg.inv(lat1)
+    relaxed = Structure(
+        Lattice(lat2), [dict(s.species) for s in supercell], frac % 1
+    )
+    # margin arithmetic: the displacement is over tolerance in the ideal
+    # metric and under it in the averaged metric
+    ratio = (abs(np.linalg.det(lat2)) / vol1) ** (1 / 6)
+    lavg = (lat1 * ratio + lat2 / ratio) / 2
+    d_ideal = np.linalg.norm((frac[0] - supercell.frac_coords[0]) @ lat1)
+    d_avg = np.linalg.norm((frac[0] - supercell.frac_coords[0]) @ lavg)
+    max_d_avg = matcher.stol * (
+        abs(np.linalg.det(lavg)) / len(supercell)
+    ) ** (1 / 3)
+    assert d_ideal > max_d, "setup: must exceed the ideal-metric tolerance"
+    assert d_avg < max_d_avg, "setup: must fit the averaged-metric tolerance"
+    mapping = matcher.get_mapping(supercell, relaxed)
+    assert mapping is not None
+    assert mapping[0] == 0  # the displaced site still maps home
+
+
+def test_degenerate_average_falls_back_to_ideal_metric(fcc_setup):
+    """Opposed candidate bases must not produce a NaN/degenerate metric.
+
+    A candidate supercell basis with rows opposed to the structure's
+    (e.g. a reflected variant of the same sublattice) cancels in the
+    blind average; the matcher must fall back to the ideal supercell
+    metric instead of dividing by zero (regression: LLL reduction NaN'd
+    on the degenerate average during verification driving).
+    """
+    prim, subspace, scm, structure, _ = fcc_setup
+    matcher = StructureMatcher(ltol=0.2, stol=0.3, angle_tol=6)
+    supercell = prim.copy().make_supercell(scm)
+    flipped = Structure(
+        Lattice(-supercell.lattice.matrix),
+        [dict(s.species) for s in supercell],
+        supercell.frac_coords,
+    )
+    mapping = matcher.get_mapping(supercell, flipped)
+    # inversion maps the lattice onto itself; sites map modulo wrapping
+    assert mapping is not None
