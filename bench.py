@@ -74,6 +74,10 @@ ALL_CONFIGS = (
     # spinel with shared_proposals=False: records the price of fully
     # independent per-walker proposal streams (VERDICT r2 item 6)
     "spinel-independent",
+    # spinel at a realistic recording cadence (300 trace records/run):
+    # includes the thin-point exact-f64 feature recompute that the
+    # default thin_by=nsteps amortizes to nothing
+    "spinel-thin100",
 )
 
 
@@ -115,10 +119,12 @@ def _run_all(args):
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for cfg in ALL_CONFIGS:
-        base = cfg.removesuffix("-independent")
+        base = cfg.removesuffix("-independent").removesuffix("-thin100")
         cmd = [sys.executable, os.path.abspath(__file__), "--config", base]
         if cfg.endswith("-independent"):
             cmd.append("--independent")
+        if cfg.endswith("-thin100"):
+            cmd += ["--thin", "100"]
         if args.smoke:
             cmd.append("--smoke")
         # forward the size overrides so --all sweeps honor them
@@ -187,6 +193,13 @@ def main():
         help="shared_proposals=False: disable the shared-proposal chain "
         "kernel (falls back to the fully independent XLA step path) to "
         "price the proposal-sharing tradeoff",
+    )
+    parser.add_argument(
+        "--thin",
+        type=int,
+        default=None,
+        help="record a trace sample every THIN steps (default: once per "
+        "run) — prices the thin-point exact-f64 recompute + recording",
     )
     parser.add_argument(
         "--block-size",
@@ -450,7 +463,10 @@ def main():
         metric = "tempering_flip_attempts_per_sec_per_chip_8192_replicas"
 
     thin_by = nsteps
-    if cfg == "tempering":
+    if args.thin:
+        thin_by = args.thin
+        metric += f"_thin{args.thin}"
+    elif cfg == "tempering":
         thin_by = nsteps - nsteps % 10 or nsteps
     elif cfg == "wang-landau":
         # chain-kernel WL runs whole thinning windows per launch; the
@@ -487,6 +503,33 @@ def main():
         record["effective_moves_per_sec"] = rate * frac
         record["vs_baseline"] = rate * frac / 1e8
         record["vs_baseline_basis"] = "null-free moves (reference-equivalent)"
+
+    # Shared-proposal ESS fraction: walkers within one chain block share
+    # the proposal site sequence, so across-walker averages carry
+    # positive correlation (tests/test_ops/test_chain_ess.py).  Blocks
+    # use independent sequences, so the block structure of the final
+    # equilibrated enthalpies estimates the loss for free:
+    #     f = var(within-block) / (block_size * var(block means)),
+    # ~1 for independent walkers, ~1/block for perfect correlation.
+    # Skipped when walkers are not identically distributed (tempering's
+    # per-walker temperature ladder) or fewer than 4 blocks exist.
+    if (
+        "shared-proposals" in record["path"]
+        and cfg in ("canonical", "sgc", "spinel", "spinel-ewald")
+    ):
+        chain_block = getattr(sampler.mckernel, "chain_block_size", 1024)
+        bs = min(int(chain_block), nwalkers)
+        nblocks = nwalkers // bs
+        if nblocks >= 4:
+            X = np.asarray(
+                sampler._state["enthalpy"], dtype=np.float64
+            )[: nblocks * bs].reshape(nblocks, bs)
+            var_within = X.var(axis=1, ddof=1).mean()
+            var_bm = X.mean(axis=1).var(ddof=1)
+            f_ess = float(var_within / (bs * max(var_bm, 1e-300)))
+            record["ess_fraction"] = f_ess
+            record["ess_fraction_dof"] = nblocks - 1
+            record["effective_samples_per_sec"] = rate * min(f_ess, 1.0)
     print(json.dumps(record))
     return 0
 

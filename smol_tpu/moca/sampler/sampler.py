@@ -273,6 +273,8 @@ class Sampler:
                 t = built[0]
                 if t.ising:
                     parts.append("ising")
+                elif t.qary:
+                    parts.append(f"qary{t.qary}")
                 table_bytes = 2 * t.gm.size + 4 * t.gcat.size
                 parts.append(
                     "streamed-tables"

@@ -70,6 +70,7 @@ __all__ = [
     "build_table_move",
     "make_shared_proposal_chain",
     "make_site_delta",
+    "make_site_delta_qary",
     "table_sequences",
     "runtime_supported",
     "interpret_mode",
@@ -152,6 +153,18 @@ class ChainTables:
     # relative (product-rounding differences only); window-boundary
     # feature recomputes always use the exact tensors.
     ising: bool = False
+    # q-ary fast path (cyclic order q in {2, 3, 4}): every local-cluster
+    # tensor row decomposes EXACTLY over the Z_q characters of its
+    # participating sites' codes, and only characters with a nonzero
+    # SELF frequency contribute to a self-site recoloring delta.  In
+    # this mode the L axis holds one row per delta-relevant character:
+    # ``gm`` carries scaled neighbor frequencies (one phase matmul
+    # replaces the tensor gather), and ``gcat`` columns 0 / TM hold the
+    # df-split FOLDED cosine amplitude, 1 / TM+1 the folded sine
+    # amplitude, and 2*TM the self frequency.  Folding keeps the per-row
+    # cos/sin increments in {0, +-1, +-2} so every product is exact in
+    # f32 (see make_site_delta_qary).  0 = off.
+    qary: int = 0
 
 
 def _hash_uniform01(seed, i, slot, shape):
@@ -430,6 +443,328 @@ def make_swap_pair_delta_ising(TM, wb, L, RP):
     return swap_delta
 
 
+def _qary_fold(q):
+    """(fold_c, fold_s): amplitude folds making phase increments exact.
+
+    cos(2*pi*w/q) over w in [0, q) takes values whose pairwise
+    DIFFERENCES are fold_c * {0, +-1, +-2} (same for sin with fold_s),
+    for q in {2, 3, 4}:
+
+        q=2: cos = [1, -1]            -> diffs in {0, +-2},        fold 1
+        q=3: cos = [1, -1/2, -1/2]    -> diffs in {0, +-3/2},      fold 3/2
+             sin = [0, s, -s]         -> diffs in s * {0, +-1, +-2}
+        q=4: cos = [1, 0, -1, 0]      -> diffs in {0, +-1, +-2},   fold 1
+
+    Folding the factor into the (f64 -> df) amplitude at table-build
+    time leaves only products by {0, +-1, +-2} in the kernel — exact in
+    f32, so the q-ary delta is double-float grade like the Ising path.
+    """
+    if q == 2:
+        return 1.0, 0.0
+    if q == 3:
+        return 1.5, np.sqrt(3.0) / 2.0
+    return 1.0, 1.0  # q == 4
+
+
+def _phase_sel(q, w):
+    """Branchless folded (sigma_cos, sigma_sin) of a phase plane w.
+
+    sigma are the cos/sin values DIVIDED by their q-fold (so their
+    increments are integers in {0, +-1, +-2}): see _qary_fold.
+    """
+    if q == 2:
+        return 1.0 - 2.0 * w, None
+    if q == 3:
+        sc = (w == 0.0).astype(jnp.float32)
+        ss = (w == 1.0).astype(jnp.float32) - (w == 2.0).astype(jnp.float32)
+        return sc, ss
+    sc = (w == 0.0).astype(jnp.float32) - (w == 2.0).astype(jnp.float32)
+    ss = (w == 1.0).astype(jnp.float32) - (w == 3.0).astype(jnp.float32)
+    return sc, ss
+
+
+def _df_reduce_rows(dh, dl, width):
+    """df reduction of [width, wb] planes to [1, wb], any width.
+
+    One fold of the tail into the head reaches the largest power of two
+    below ``width``, then a plain tree finishes: O(log width) ops with
+    no row padding — the op count matters both on hardware (dependent-op
+    latency) and in interpret mode (per-op dispatch cost).
+    """
+    p = 1
+    while p * 2 < width:
+        p *= 2
+    if width > p:
+        r = width - p  # <= p rows folded into the head
+        sh, sl = _df_add(dh[:r, :], dl[:r, :], dh[p:width, :], dl[p:width, :])
+        dh = jnp.concatenate([sh, dh[r:p, :]], axis=0)
+        dl = jnp.concatenate([sl, dl[r:p, :]], axis=0)
+        width = p
+    while width > 1:
+        half = width // 2
+        dh, dl = _df_add(
+            dh[:half, :], dl[:half, :], dh[half:width, :], dl[half:width, :]
+        )
+        width = half
+    return dh, dl
+
+
+def make_site_delta_qary(q, TM, wb):
+    """Z_q character site delta: one frequency matmul + mod-q selects.
+
+    For q-ary codes every local tensor row is a finite real Fourier
+    series ``sum_p A_p cos(2 pi <m_p, c> / q) + B_p sin(...)`` over the
+    participating sites' codes; recoloring the self site from ``a`` to
+    ``b`` shifts each character's phase ``w`` by ``m_self (b - a)``, so
+    the delta needs only the neighbor phase ``u = <m, c_neighbors>``
+    (the gather matmul, with gm holding scaled frequencies) and a
+    handful of compare-selects on ``(u + m_self code) mod q`` — no
+    tensor-extent select loop.  Amplitude folding (_qary_fold) keeps
+    every kernel product exact in f32.  The q = 2 instance covers
+    binary bases that are NOT sign-symmetric (e.g. indicator), where
+    the Ising parity path does not apply.
+    """
+    qf = jnp.float32(q)
+
+    def _modq(x):
+        # exact for small-integer-valued f32 planes (x / q rounds to a
+        # value strictly between adjacent integers unless exact)
+        return x - qf * jnp.floor(x / qf)
+
+    def site_delta(gm_x, gcat_x, occ_bf, a, b):
+        L = gm_x.shape[0]
+        u = jax.lax.dot(
+            gm_x, occ_bf, preferred_element_type=jnp.float32
+        )  # [L, wb] neighbor phases, exact
+        ms = jax.lax.broadcast_in_dim(
+            gcat_x[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+        )
+        wo = _modq(u + ms * a)
+        wn = _modq(u + ms * b)
+        sco, sso = _phase_sel(q, wo)
+        scn, ssn = _phase_sel(q, wn)
+        dc = scn - sco  # in {0, +-1, +-2}: exact f32 multipliers
+        ch = jax.lax.broadcast_in_dim(gcat_x[:, 0:1], (L, wb), (0, 1))
+        cl = jax.lax.broadcast_in_dim(gcat_x[:, TM: TM + 1], (L, wb), (0, 1))
+        if q == 2:
+            dh, dl = ch * dc, cl * dc
+        else:
+            ds = ssn - sso
+            bh = jax.lax.broadcast_in_dim(gcat_x[:, 1:2], (L, wb), (0, 1))
+            bl = jax.lax.broadcast_in_dim(
+                gcat_x[:, TM + 1: TM + 2], (L, wb), (0, 1)
+            )
+            dh, dl = _df_add(ch * dc, cl * dc, bh * ds, bl * ds)
+        return _df_reduce_rows(dh, dl, L)  # [1, wb]
+
+    return site_delta
+
+
+def make_swap_pair_delta_qary(q, TM, wb, L, RP):
+    """Fused two-site Z_q swap delta (see make_swap_pair_delta).
+
+    u recolors a -> b and v recolors b -> a; v's phases see u's flip
+    through the frequency column ``gm_v[:, u] * (b - a)`` (phases are
+    linear in codes, so the rank-1 correction is exact).  The stacked
+    [2L, wb] df tree sums u's and v's character contributions.
+    """
+    qf = jnp.float32(q)
+
+    def _modq(x):
+        return x - qf * jnp.floor(x / qf)
+
+    def swap_delta(gm_u, gcat_u, gm_v, gcat_v, occ_bf, a, b, u):
+        big = jnp.concatenate([gm_u, gm_v], axis=0)  # [2L, RP] bf16
+        t_all = jax.lax.dot(
+            big, occ_bf, preferred_element_type=jnp.float32
+        )  # [2L, wb]
+        e_u = (
+            jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) == u
+        ).astype(jnp.bfloat16)
+        corr = jax.lax.dot(
+            gm_v, e_u, preferred_element_type=jnp.float32
+        )  # [L, 1] = u's frequency in v's rows
+        diff = b - a  # [1, wb]; zero for null pairs -> delta 0
+        u_u = t_all[:L]
+        u_v = t_all[L:] + corr * diff  # exact: freq x small code change
+        ms_u = jax.lax.broadcast_in_dim(
+            gcat_u[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+        )
+        ms_v = jax.lax.broadcast_in_dim(
+            gcat_v[:, 2 * TM: 2 * TM + 1], (L, wb), (0, 1)
+        )
+        # u: a -> b ; v (post-u): b -> a
+        wo = jnp.concatenate([_modq(u_u + ms_u * a), _modq(u_v + ms_v * b)], axis=0)
+        wn = jnp.concatenate([_modq(u_u + ms_u * b), _modq(u_v + ms_v * a)], axis=0)
+        sco, sso = _phase_sel(q, wo)
+        scn, ssn = _phase_sel(q, wn)
+        dc = scn - sco
+        ch = jnp.concatenate(
+            [
+                jax.lax.broadcast_in_dim(gcat_u[:, 0:1], (L, wb), (0, 1)),
+                jax.lax.broadcast_in_dim(gcat_v[:, 0:1], (L, wb), (0, 1)),
+            ],
+            axis=0,
+        )
+        cl = jnp.concatenate(
+            [
+                jax.lax.broadcast_in_dim(gcat_u[:, TM: TM + 1], (L, wb), (0, 1)),
+                jax.lax.broadcast_in_dim(gcat_v[:, TM: TM + 1], (L, wb), (0, 1)),
+            ],
+            axis=0,
+        )
+        if q == 2:
+            dh, dl = ch * dc, cl * dc
+        else:
+            ds = ssn - sso
+            bh = jnp.concatenate(
+                [
+                    jax.lax.broadcast_in_dim(gcat_u[:, 1:2], (L, wb), (0, 1)),
+                    jax.lax.broadcast_in_dim(gcat_v[:, 1:2], (L, wb), (0, 1)),
+                ],
+                axis=0,
+            )
+            bl = jnp.concatenate(
+                [
+                    jax.lax.broadcast_in_dim(
+                        gcat_u[:, TM + 1: TM + 2], (L, wb), (0, 1)
+                    ),
+                    jax.lax.broadcast_in_dim(
+                        gcat_v[:, TM + 1: TM + 2], (L, wb), (0, 1)
+                    ),
+                ],
+                axis=0,
+            )
+            dh, dl = _df_add(ch * dc, cl * dc, bh * ds, bl * ds)
+        return _df_reduce_rows(dh, dl, 2 * L)
+
+    return swap_delta
+
+
+def _qary_tables(rank_sites, rank_of_site, sites3, strides3, g3,
+                 valid_cluster, n_codes, L0, rpad, tmax, max_rows=2048):
+    """Build Z_q character tables (the q-ary generalization of Ising).
+
+    Any real function on a product of cyclic code spaces decomposes
+    exactly over roots-of-unity characters; a self-site recoloring
+    changes only the characters whose self frequency is nonzero.  For
+    every valid local-cluster row this tabulates the packed tensor over
+    the participating sites' code grid, takes its multi-dimensional
+    real DFT, verifies the scaled-frequency reconstruction the kernel
+    will use to <= 1e-11 relative (guarding the index bookkeeping, not
+    the mathematics), and keeps the delta-relevant characters.
+
+    Sites with q_k codes embed into the global cyclic order q (the lcm
+    of all flippable code counts) by scaling their frequencies with
+    q / q_k, so mixed binary/quaternary systems ride one q = 4 kernel.
+
+    Returns ``(q, gmq [R, Lq, rpad] f64 scaled neighbor frequencies,
+    chi/clo/bhi/blo [R, Lq] f64 df-split folded amplitudes,
+    msq [R, Lq] f64 scaled self frequencies, Lq)`` or None when
+    unsupported (lcm not in {2, 3, 4}, tensor-index overflow, or more
+    than ``max_rows`` character rows on some rank).
+    """
+    from math import lcm
+
+    R = len(rank_sites)
+    K = sites3.shape[2]
+    q = 1
+    for s in rank_sites:
+        q = lcm(q, int(n_codes[s]))
+    if q not in (2, 3, 4):
+        return None
+    fold_c, fold_s = _qary_fold(q)
+
+    rows_freq = [[] for _ in range(R)]  # scaled neighbor-rank freq vectors
+    rows_amp = [[] for _ in range(R)]  # (folded A_c, folded A_s) f64
+    rows_ms = [[] for _ in range(R)]  # scaled self frequencies
+    for ri, site in enumerate(rank_sites):
+        for l in range(L0):
+            if not valid_cluster[site, l]:
+                continue
+            row = g3[site, l]
+            groups = {}  # member site -> [stride sum, slot count]
+            for k in range(K):
+                st = strides3[site, l, k]
+                if st <= 0:
+                    continue
+                entry = groups.setdefault(int(sites3[site, l, k]), [0, 0])
+                entry[0] += int(st)
+                entry[1] += 1
+            if int(site) not in groups:
+                return None  # valid rows always carry a self stride
+            # participating sites: self first, then flippable neighbors
+            # (frozen single-code neighbors hold code 0 and drop out)
+            members = [int(site)] + [
+                s
+                for s in groups
+                if s != int(site) and rank_of_site[s] >= 0
+            ]
+            shape = tuple(int(n_codes[s]) for s in members)
+            ssums = np.array([groups[s][0] for s in members])
+            scales = np.array([q // qk for qk in shape])
+            grid = np.stack(
+                np.meshgrid(*(np.arange(qk) for qk in shape), indexing="ij")
+            )  # [K', *shape]
+            t_grid = np.tensordot(ssums, grid, axes=(0, 0))
+            if t_grid.max() >= tmax:
+                return None
+            v = row[t_grid]  # [*shape] f64
+            scale = max(float(np.abs(v).max()), 1e-300)
+            F = np.fft.fftn(v) / v.size
+            tiny = 1e-13 * scale
+            consumed = np.zeros(shape, dtype=bool)
+            recon = np.zeros(shape, dtype=np.float64)
+            kept = []  # (scaled freqs incl. self, folded A_c, folded A_s)
+            for m in np.ndindex(shape):
+                if consumed[m]:
+                    continue
+                consumed[m] = True
+                mc = tuple((-mi) % qk for mi, qk in zip(m, shape))
+                if mc == m:  # self-conjugate: purely real character
+                    a_c, a_s = float(F[m].real), 0.0
+                else:
+                    consumed[mc] = True
+                    a_c = 2.0 * float(F[m].real)
+                    a_s = -2.0 * float(F[m].imag)
+                if max(abs(a_c), abs(a_s)) < tiny:
+                    continue
+                sm = np.array(m) * scales  # scaled frequencies
+                w = np.mod(np.tensordot(sm, grid, axes=(0, 0)), q)
+                theta = 2.0 * np.pi * w / q
+                recon += a_c * np.cos(theta) + a_s * np.sin(theta)
+                if sm[0] % q:  # delta-relevant: nonzero self frequency
+                    kept.append((sm, a_c, a_s))
+            if np.abs(recon - v).max() > 1e-11 * scale:
+                return None
+            for sm, a_c, a_s in kept:
+                freq = np.zeros(rpad, dtype=np.float64)
+                for s_m, f in zip(members[1:], sm[1:]):
+                    freq[rank_of_site[s_m]] = float(f)
+                rows_freq[ri].append(freq)
+                rows_amp[ri].append((fold_c * a_c, fold_s * a_s))
+                rows_ms[ri].append(float(sm[0] % q))
+        if len(rows_freq[ri]) > max_rows:
+            return None
+
+    n_max = max((len(r) for r in rows_freq), default=0)
+    if n_max == 0:
+        return None
+    Lq = max(16, -(-n_max // 16) * 16)  # bf16 sublane-tile aligned
+    gmq = np.zeros((R, Lq, rpad), dtype=np.float64)
+    amp_c = np.zeros((R, Lq), dtype=np.float64)
+    amp_s = np.zeros((R, Lq), dtype=np.float64)
+    msq = np.zeros((R, Lq), dtype=np.float64)
+    for ri in range(R):
+        for j, freq in enumerate(rows_freq[ri]):
+            gmq[ri, j] = freq
+            amp_c[ri, j], amp_s[ri, j] = rows_amp[ri][j]
+            msq[ri, j] = rows_ms[ri][j]
+    chi, clo = _split_f64(amp_c)
+    bhi, blo = _split_f64(amp_s)
+    return q, gmq, chi, clo, bhi, blo, msq, Lq
+
+
 def _ising_tables(rank_sites, rank_of_site, sites3, strides3, g3,
                   valid_cluster, L0, L, rpad, tmax):
     """Detect the Ising-factorizable tensor pattern and build its tables.
@@ -640,6 +975,41 @@ def build_chain_tables(processor, sublattices, mu_table=None,
             gm = gm01
             segments = ((0, L, 1),)
             ising = True
+
+    # q-ary fast path: cyclic-order-q character factorization (see
+    # ChainTables.qary).  Covers everything the Ising path does not —
+    # ternary/quaternary codes and non-sign-symmetric binary bases —
+    # whenever the lcm of the active code counts is 2, 3, or 4 and the
+    # character-row count stays within budget.  Opt out with
+    # SMOL_TPU_CHAIN_NO_QARY=1.
+    qary = 0
+    if (
+        not ising
+        and tmax >= 2  # the amplitude column layout needs 2*TM+1 >= 5
+        and os.environ.get("SMOL_TPU_CHAIN_NO_QARY") != "1"
+    ):
+        built = _qary_tables(
+            rank_sites, rank_of_site, sites3, strides3, g3,
+            valid_cluster, n_codes, L0, rpad, tmax,
+        )
+        # commit only when the character rows fit the per-step working
+        # set (streamed-mode double buffers); else keep the select path
+        if built is not None and (
+            8 * built[-1] * rpad + 16 * built[-1] * (2 * tmax + 1)
+            <= 8 * 2**20
+        ):
+            q_det, gmq, chi, clo, bhi, blo, msq, Lq = built
+            gcat_q = np.zeros((R, Lq, 2 * tmax + 1), dtype=np.float32)
+            gcat_q[:, :, 0] = chi
+            gcat_q[:, :, 1] = bhi
+            gcat_q[:, :, tmax] = clo
+            gcat_q[:, :, tmax + 1] = blo
+            gcat_q[:, :, 2 * tmax] = msq
+            gcat = gcat_q
+            gm = gmq
+            L = Lq
+            segments = ((0, Lq, 1),)
+            qary = q_det
     ncod = np.ones((1, R), dtype=np.int32)
     off = 0
     nact = np.array([len(s.active_sites) for s in active], dtype=np.int64)
@@ -719,9 +1089,7 @@ def build_chain_tables(processor, sublattices, mu_table=None,
     # chain streamed mode), so only the PER-STEP working set is bounded:
     # two row buffers + the rank-compacted walker state + small tables.
     rpad_ = max(8, -(-R // 8) * 8)
-    Lp = 8
-    while Lp < L0:
-        Lp *= 2
+    Lp = L  # final L axis (character rows when the q-ary path is on)
     working = (
         2 * 4 * Lp * rpad_  # bf16 gm row double buffers (x2 roles, swaps)
         + 4 * 4 * Lp * (2 * tmax + 1)  # gcat row double buffers
@@ -740,6 +1108,7 @@ def build_chain_tables(processor, sublattices, mu_table=None,
         tensor_max=tmax,
         binary=binary,
         ising=ising,
+        qary=qary,
         segments=segments,
         gm=jnp.asarray(gm, dtype=jnp.bfloat16),
         gcat=jnp.asarray(gcat),
@@ -1231,14 +1600,19 @@ def make_shared_proposal_chain(
 
         if t.ising:
             site_delta = make_site_delta_ising(TM, wb)
+        elif t.qary:
+            site_delta = make_site_delta_qary(t.qary, TM, wb)
         else:
             site_delta = make_site_delta(segments, TM, wb)
         if swap and not table:
-            swap_pair_delta = (
-                make_swap_pair_delta_ising(TM, wb, L, RP)
-                if t.ising
-                else make_swap_pair_delta(segments, TM, wb, L, RP)
-            )
+            if t.ising:
+                swap_pair_delta = make_swap_pair_delta_ising(TM, wb, L, RP)
+            elif t.qary:
+                swap_pair_delta = make_swap_pair_delta_qary(
+                    t.qary, TM, wb, L, RP
+                )
+            else:
+                swap_pair_delta = make_swap_pair_delta(segments, TM, wb, L, RP)
 
         def ewald_delta(r, sign, occ_x):
             """sign * (C_r + V_r . occ_x) as a df pair [1, wb]."""

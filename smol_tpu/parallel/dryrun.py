@@ -1,15 +1,21 @@
-"""Multi-chip dry run: one sharded parallel-tempering step on an N-device mesh.
+"""Multi-chip dry run: sharded MC steps for EVERY move type on an N-device mesh.
 
 This module is executed as ``python -m smol_tpu.parallel.dryrun N`` inside an
 environment that forces the CPU platform with N virtual host devices (see
 ``__graft_entry__.dryrun_multichip``, which scrubs the environment and spawns
-the subprocess).  It builds the spinel cluster-expansion ensemble, shards a
-parallel-tempering walker ensemble over a 1D ``jax.sharding.Mesh``, and jits
-one full step (MC sweep + replica-exchange collectives) on tiny shapes.
+the subprocess).  It builds spinel cluster-expansion ensembles and, for each
+supported move family, shards a walker ensemble over a 1D
+``jax.sharding.Mesh`` and jits one full step on tiny shapes:
+
+- ``flip+exchange``: semigrand flips under a parallel-tempering ladder (the
+  replica-exchange rolls lower to ICI ppermute collectives),
+- ``swap``: canonical two-site exchanges,
+- ``table``: charge-neutral composite TableFlip moves,
+- ``wang-landau``: flat-histogram flips with per-walker entropy planes.
 
 Counterpart of the reference's multi-walker loop (smol
 ``moca/sampler/sampler.py:436-440``, sequential Python) — here walkers shard
-over the mesh and GSPMD lowers the exchange rolls to ICI ppermute.
+over the mesh and GSPMD partitions every step.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ __all__ = ["main"]
 
 
 def main(n_devices: int) -> None:
-    """Run the sharded tempering step on ``n_devices`` CPU devices."""
+    """Run one sharded step of every move type on ``n_devices`` CPU devices."""
     # Must run before the first jax backend use; the caller normally sets
     # these in the subprocess environment, but be defensive for direct use.
     flags = os.environ.get("XLA_FLAGS", "")
@@ -57,49 +63,116 @@ def main(n_devices: int) -> None:
         f"(XLA_FLAGS={os.environ.get('XLA_FLAGS')!r})"
     )
     nwalkers = 4 * n_devices
+    mesh = walker_mesh(devices)
+    rng = np.random.default_rng(0)
 
     prim = spinel_prim()
+    mu = {"Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0}
+
+    def random_occu(ensemble):
+        n_codes = np.array(
+            [len(sp) for sp in ensemble.processor.allowed_species],
+            dtype=np.int64,
+        )
+        return (
+            rng.random((nwalkers, ensemble.num_sites)) * n_codes
+        ).astype(np.int32)
+
+    def run_one(label, sampler, occu, step_fn=None, extra_state=None):
+        """Shard the walker state, jit one step, execute, check finiteness."""
+        state = sampler.setup_sample(occu)
+        if extra_state:
+            state.update(extra_state)
+        state = shard_walker_state(state, mesh)
+        fn = step_fn or sampler.mckernel.make_step_fn()
+        with mesh:
+            out = jax.jit(fn)(state, jax.random.key(0))
+            jax.block_until_ready(out)
+        enth = np.asarray(out["enthalpy"])
+        assert np.all(np.isfinite(enth)), f"non-finite enthalpies: {label}"
+        occ_key = "words" if "words" in out else "occupancy"
+        assert out[occ_key].shape[0] == nwalkers
+        print(
+            f"dryrun[{label}] OK: {n_devices} devices, {nwalkers} walkers, "
+            f"mean H = {enth.mean():.6f}"
+        )
+
+    # ---- flip + parallel-tempering exchange (the headline path) ----
     ce = random_expansion(prim, {2: 3.0}, seed=11)
-    ensemble = Ensemble.from_cluster_expansion(
-        ce,
-        np.diag((1, 1, 1)),
-        chemical_potentials={
-            "Li+": 0.0, "vacA0+": 0.0, "Mn3+": 0.0, "Mn4+": 0.0
+    ens = Ensemble.from_cluster_expansion(ce, np.diag((1, 1, 1)),
+                                          chemical_potentials=mu)
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1000.0, nwalkers=nwalkers, seed=3
+    )
+    ladder = make_temperature_ladder(300.0, 3000.0, nwalkers)
+    step_fn = make_tempering_step(
+        sampler.mckernel.make_step_fn(), exchange_period=1
+    )
+    run_one(
+        "flip+exchange",
+        sampler,
+        random_occu(ens),
+        step_fn=step_fn,
+        extra_state={
+            "beta": jnp.asarray(1.0 / (8.617333262145e-5 * ladder)),
+            "pt_counter": jnp.zeros((), dtype=jnp.int32),
         },
     )
-    sampler = Sampler.from_ensemble(
-        ensemble, temperature=1000.0, nwalkers=nwalkers, seed=3
+
+    # ---- canonical swap ----
+    ens_cn = Ensemble.from_cluster_expansion(ce, np.diag((1, 1, 1)))
+    run_one(
+        "swap",
+        Sampler.from_ensemble(
+            ens_cn, temperature=800.0, nwalkers=nwalkers, seed=5
+        ),
+        random_occu(ens_cn),
     )
-    rng = np.random.default_rng(0)
-    n_codes = np.array(
-        [len(sp) for sp in ensemble.processor.allowed_species], dtype=np.int64
+
+    # ---- charge-neutral table flips (composite CE + Ewald) ----
+    ce_ew = random_expansion(prim, {2: 3.0}, seed=11, ewald=True)
+    ens_tf = Ensemble.from_cluster_expansion(ce_ew, np.diag((1, 1, 1)),
+                                             chemical_potentials=mu)
+    from smol_tpu.capp.generate.random import generate_random_ordered_occupancy
+
+    occ0 = generate_random_ordered_occupancy(
+        ens_tf.processor, charge_neutral=True, rng=rng
     )
-    occu = (rng.random((nwalkers, ensemble.num_sites)) * n_codes).astype(np.int32)
-    state = sampler.setup_sample(occu)
+    run_one(
+        "table",
+        Sampler.from_ensemble(
+            ens_tf, temperature=1000.0, nwalkers=nwalkers, seed=7,
+            step_type="table-flip",
+        ),
+        np.tile(occ0, (nwalkers, 1)).astype(np.int32),
+    )
 
-    # parallel-tempering ladder across the sharded walker axis
-    ladder = make_temperature_ladder(300.0, 3000.0, nwalkers)
-    state["beta"] = jnp.asarray(1.0 / (8.617333262145e-5 * ladder))
-    state["pt_counter"] = jnp.zeros((), dtype=jnp.int32)
+    # ---- Wang-Landau flat-histogram flips ----
+    occu_wl = random_occu(ens)
+    probe = np.array([
+        float(ens.compute_feature_vector(o) @ ens.natural_parameters)
+        for o in occu_wl[: min(16, nwalkers)]
+    ])
+    span = probe.max() - probe.min() + 1e-3
+    run_one(
+        "wang-landau",
+        Sampler.from_ensemble(
+            ens,
+            kernel_type="wang-landau",
+            step_type="flip",
+            min_enthalpy=probe.min() - 2 * span,
+            max_enthalpy=probe.max() + 2 * span,
+            bin_size=span / 10,
+            flatness=0.8,
+            nwalkers=nwalkers,
+            seed=13,
+        ),
+        occu_wl,
+    )
 
-    mesh = walker_mesh(devices)
-    state = shard_walker_state(state, mesh)
-
-    base_step = sampler.mckernel.make_step_fn()
-    step_fn = make_tempering_step(base_step, exchange_period=1)
-
-    with mesh:
-        one_step = jax.jit(step_fn)
-        out = one_step(state, jax.random.key(0))
-        jax.block_until_ready(out)
-
-    enth = np.asarray(out["enthalpy"])
-    assert np.all(np.isfinite(enth)), "non-finite enthalpies in dry run"
-    occ_key = "words" if "words" in out else "occupancy"
-    assert out[occ_key].shape[0] == nwalkers
     print(
         f"dryrun_multichip OK: {n_devices} devices, {nwalkers} walkers, "
-        f"mean H = {enth.mean():.6f}"
+        "moves = flip+exchange, swap, table, wang-landau"
     )
 
 

@@ -93,78 +93,79 @@ def integerize_multiple(vs, max_denominator: int = 1000, dtol: float = NUM_TOL):
 
 
 def compute_snf(a):
-    """Smith normal form: returns (s, m, t) with m = s @ a @ t diagonal.
+    """Smith normal form over Z: returns (s, m, t) with m = s @ a @ t.
 
-    Standard integer row/column reduction (reference math.py:149-240).
+    Minimal-pivot reduction: each stage moves the smallest-magnitude
+    nonzero entry of the trailing submatrix to the pivot, then divides
+    its column and row with remainder (elementary unimodular row/column
+    additions).  Any nonzero remainder is strictly smaller in magnitude
+    and becomes the next pivot pick, so each stage terminates.  Once the
+    pivot's row and column are clear, a trailing entry it does not
+    divide folds its row into the pivot row and reduction resumes —
+    producing the divisibility chain d1 | d2 | ... directly, with zero
+    diagonal entries trailing.  (Same contract as the reference
+    smol/utils/math.py:149; independent algorithm and structure.)
     """
+    # exact Python-int arithmetic: transform coefficients can exceed
+    # int64 on large-determinant inputs (growth is inherent to SNF
+    # transforms); results are cast back to int64 when they fit
+    m = np.round(np.asarray(a)).astype(np.int64).astype(object)
+    nr, nc = m.shape
+    s = np.eye(nr, dtype=np.int64).astype(object)
+    t = np.eye(nc, dtype=np.int64).astype(object)
 
-    def leftmult(mat, i0, i1, x11, x12, x21, x22):
-        rows0 = x11 * mat[i0] + x12 * mat[i1]
-        rows1 = x21 * mat[i0] + x22 * mat[i1]
-        mat[i0], mat[i1] = rows0, rows1
+    def _fit64(x):
+        lim = np.iinfo(np.int64).max
+        if all(-lim <= int(v) <= lim for v in x.flat):
+            return x.astype(np.int64)
+        return x
 
-    def rightmult(mat, j0, j1, x11, x12, x21, x22):
-        cols0 = x11 * mat[:, j0] + x21 * mat[:, j1]
-        cols1 = x12 * mat[:, j0] + x22 * mat[:, j1]
-        mat[:, j0], mat[:, j1] = cols0, cols1
-
-    m = np.round(np.asarray(a)).astype(np.int64).copy()
-    s = np.eye(m.shape[0], dtype=np.int64)
-    t = np.eye(m.shape[1], dtype=np.int64)
-    last_j = -1
-    for i in range(m.shape[0]):
-        for j in range(last_j + 1, m.shape[1]):
-            if not np.all(m[:, j] == 0):
-                break
-        else:
-            break
-        if m[i, j] == 0:
-            ii = int(np.nonzero(m[:, j])[0][0])
-            leftmult(m, i, ii, 0, 1, 1, 0)
-            leftmult(s, i, ii, 0, 1, 1, 0)
-        rightmult(m, j, i, 0, 1, 1, 0)
-        rightmult(t, j, i, 0, 1, 1, 0)
-        j = i
-        upd = True
-        while upd:
-            upd = False
-            for ii in range(i + 1, m.shape[0]):
-                if m[ii, j] == 0:
-                    continue
-                upd = True
-                if m[ii, j] % m[i, j] != 0:
-                    c1, c2, g = gcdex(int(m[i, j]), int(m[ii, j]))
-                    c3, c4 = m[ii, j] // g, m[i, j] // g
-                    leftmult(m, i, ii, c1, c2, -c3, c4)
-                    leftmult(s, i, ii, c1, c2, -c3, c4)
-                c5 = m[ii, j] // m[i, j]
-                leftmult(m, i, ii, 1, 0, -c5, 1)
-                leftmult(s, i, ii, 1, 0, -c5, 1)
-            for jj in range(j + 1, m.shape[1]):
-                if m[i, jj] == 0:
-                    continue
-                upd = True
-                if m[i, jj] % m[i, j] != 0:
-                    c1, c2, g = gcdex(int(m[i, j]), int(m[i, jj]))
-                    c3, c4 = m[i, jj] // g, m[i, j] // g
-                    rightmult(m, j, jj, c1, -c3, c2, c4)
-                    rightmult(t, j, jj, c1, -c3, c2, c4)
-                c5 = m[i, jj] // m[i, j]
-                rightmult(m, j, jj, 1, -c5, 0, 1)
-                rightmult(t, j, jj, 1, -c5, 0, 1)
-        last_j = j
-
-    for i1 in range(min(m.shape)):
-        for i0 in reversed(range(i1)):
-            c1, c2, g = gcdex(int(m[i0, i0]), int(m[i1, i1]))
-            if g == 0:
+    for p in range(min(nr, nc)):
+        while True:
+            sub = m[p:, p:]
+            nzi, nzj = np.nonzero(sub)
+            if len(nzi) == 0:
+                return _fit64(s), _fit64(m), _fit64(t)  # trailing zero: done
+            k = int(np.argmin(np.abs(sub[nzi, nzj])))
+            i, j = p + int(nzi[k]), p + int(nzj[k])
+            if i != p:
+                m[[p, i]] = m[[i, p]]
+                s[[p, i]] = s[[i, p]]
+            if j != p:
+                m[:, [p, j]] = m[:, [j, p]]
+                t[:, [p, j]] = t[:, [j, p]]
+            if m[p, p] < 0:
+                m[p] = -m[p]
+                s[p] = -s[p]
+            piv = int(m[p, p])
+            # divide-with-remainder down the column and across the row;
+            # floor division leaves remainders in [0, piv)
+            clear = True
+            for i in range(p + 1, nr):
+                q = m[i, p] // piv
+                if q:
+                    m[i] -= q * m[p]
+                    s[i] -= q * s[p]
+                if m[i, p]:
+                    clear = False
+            for j in range(p + 1, nc):
+                q = m[p, j] // piv
+                if q:
+                    m[:, j] -= q * m[:, p]
+                    t[:, j] -= q * t[:, p]
+                if m[p, j]:
+                    clear = False
+            if not clear:
+                continue  # a smaller remainder exists: re-pick the pivot
+            rem = m[p + 1:, p + 1:] % piv
+            if rem.size and rem.any():
+                # divisibility repair: fold one offending row into row p
+                i = p + 1 + int(np.nonzero(rem.any(axis=1))[0][0])
+                m[p] += m[i]
+                s[p] += s[i]
                 continue
-            c3, c4 = m[i1, i1] // g, m[i0, i0] // g
-            leftmult(m, i0, i1, 1, c2, c3, c2 * c3 - 1)
-            leftmult(s, i0, i1, 1, c2, c3, c2 * c3 - 1)
-            rightmult(m, i0, i1, c1, 1 - c1 * c4, 1, -c4)
-            rightmult(t, i0, i1, c1, 1 - c1 * c4, 1, -c4)
-    return s, m, t
+            break
+    return _fit64(s), _fit64(m), _fit64(t)
 
 
 def solve_diophantines(a, b=None):

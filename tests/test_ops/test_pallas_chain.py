@@ -181,8 +181,8 @@ def test_ising_fast_path_matches_select_path(monkeypatch):
 
 
 def test_ising_detection_requires_binary_symmetric():
-    """Ternary systems (and non-factorizable tensors) stay on the
-    tensor-select path: detection must not trigger."""
+    """Ternary systems must not trigger the binary Ising parity path;
+    they dispatch the q-ary (Z_3 character) fast path instead."""
     ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
     ens = Ensemble.from_cluster_expansion(
         ce, np.diag([2, 2, 2]),
@@ -193,6 +193,77 @@ def test_ising_detection_requires_binary_symmetric():
         mu_table=ens.chemical_potential_table,
     )
     assert tables is not None and not tables.ising
+    assert tables.qary == 3
+
+
+def test_qary_fast_path_matches_select_path(monkeypatch):
+    """Z_3 character chain == tensor-select chain, step for step.
+
+    Ternary sites dispatch the q-ary fast path (ChainTables.qary:
+    frequency matmul + mod-3 phase selects instead of the TM-column
+    g-plane select).  The character decomposition re-rounds each
+    cluster's delta at the double-float level (~1e-13 relative), far
+    below the f32 acceptance granularity, so on the same PRNG stream
+    the trajectories match exactly for flip and swap moves.
+    """
+    ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens_mu = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]),
+        chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05},
+    )
+    ens_cn = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    results = {}
+    for mode in ("qary", "select"):
+        monkeypatch.setenv(
+            "SMOL_TPU_CHAIN_NO_QARY", "1" if mode == "select" else "0"
+        )
+        for move, ens in (("flip", ens_mu), ("swap", ens_cn)):
+            sampler = Sampler.from_ensemble(
+                ens, temperature=900.0, nwalkers=8, seed=3
+            )
+            tables = pallas_chain.build_chain_tables(
+                ens.processor,
+                ens.sublattices,
+                mu_table=(
+                    ens.chemical_potential_table if move == "flip" else None
+                ),
+            )
+            assert tables.qary == (3 if mode == "qary" else 0), (mode, move)
+            occu = _random_occu(ens, 8)
+            state = _chain_state(sampler, occu)
+            fn = pallas_chain.make_shared_proposal_chain(
+                tables, 150, block_size=8, interpret=True, move=move
+            )
+            out = fn(state, jax.random.key(0))
+            results[(mode, move)] = (
+                np.asarray(out["occupancy"]),
+                np.asarray(out["enthalpy"]),
+                np.asarray(out["naccept"]),
+            )
+    for move in ("flip", "swap"):
+        o1, e1, n1 = results[("qary", move)]
+        o0, e0, n0 = results[("select", move)]
+        np.testing.assert_array_equal(o1, o0, err_msg=move)
+        np.testing.assert_array_equal(n1, n0, err_msg=move)
+        np.testing.assert_allclose(e1, e0, rtol=0, atol=1e-9, err_msg=move)
+
+
+def test_qary_binary_q2_path(monkeypatch):
+    """The q = 2 character instance covers ANY binary system (Z_2
+    characters span all binary functions): with the Ising parity path
+    disabled, detection falls through to qary = 2 and the accumulated
+    enthalpy still matches the exact f64 recomputation."""
+    monkeypatch.setenv("SMOL_TPU_CHAIN_NO_ISING", "1")
+    ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.3, "Cu": 0.0}
+    )
+    tables = pallas_chain.build_chain_tables(
+        ens.processor, ens.sublattices,
+        mu_table=ens.chemical_potential_table,
+    )
+    assert tables is not None and not tables.ising and tables.qary == 2
+    _accum_parity(ens)
 
 
 def test_swap_chain_counts_nonnull_moves():
@@ -336,6 +407,79 @@ def test_accum_parity_spinel_tableflip():
         q1 = sum(chg[s][occ1[w, s]] for s in range(ens.num_sites))
         assert q0 == q1, (w, q0, q1)
     assert not np.array_equal(occ1, occu)
+
+
+def _run_tableflip_chain(ens, seed=3, n_steps=150, nwalkers=8):
+    """Build + run the table-move chain; returns (occ, enthalpy, naccept)."""
+    sampler = Sampler.from_ensemble(
+        ens, temperature=1000.0, nwalkers=nwalkers, seed=seed,
+        step_type="table-flip",
+    )
+    built = sampler.mckernel._get_chain_tables()
+    assert built is not None and built[1] == "table"
+    tables, _, table_move = built
+    occu = _random_occu(ens, nwalkers)
+    state = _chain_state(sampler, occu)
+    fn = pallas_chain.make_shared_proposal_chain(
+        tables, n_steps, block_size=nwalkers, interpret=True,
+        move="table", table_move=table_move,
+    )
+    out = fn(state, jax.random.key(0))
+    return (
+        tables,
+        np.asarray(out["occupancy"]),
+        np.asarray(out["enthalpy"]),
+        np.asarray(out["naccept"]),
+    )
+
+
+def test_ising_table_move_matches_select_path(monkeypatch):
+    """move="table" also dispatches the Ising site delta (the multi-slot
+    sequential recolorings reuse site_delta): its trajectories must match
+    the tensor-select path step for step, like flip and swap."""
+    ce = random_expansion(spinel_prim(), {2: 5.3, 3: 3.7}, seed=11, ewald=True)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([1, 1, 1]),
+        chemical_potentials={
+            "Li+": 0.1, "vacA0+": 0.0, "Mn3+": 0.05, "Mn4+": 0.0
+        },
+    )
+    results = {}
+    for mode in ("ising", "select"):
+        monkeypatch.setenv(
+            "SMOL_TPU_CHAIN_NO_ISING", "1" if mode == "select" else "0"
+        )
+        tables, occ, enth, nacc = _run_tableflip_chain(ens)
+        assert tables.ising == (mode == "ising"), mode
+        results[mode] = (occ, enth, nacc)
+    np.testing.assert_array_equal(results["ising"][0], results["select"][0])
+    np.testing.assert_array_equal(results["ising"][2], results["select"][2])
+    np.testing.assert_allclose(
+        results["ising"][1], results["select"][1], rtol=0, atol=1e-9
+    )
+
+
+def test_qary_table_move_matches_select_path(monkeypatch):
+    """move="table" on a ternary system dispatches the Z_3 character
+    site delta: trajectories must match the tensor-select path."""
+    ce = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]),
+        chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05},
+    )
+    results = {}
+    for mode in ("qary", "select"):
+        monkeypatch.setenv(
+            "SMOL_TPU_CHAIN_NO_QARY", "1" if mode == "select" else "0"
+        )
+        tables, occ, enth, nacc = _run_tableflip_chain(ens)
+        assert tables.qary == (3 if mode == "qary" else 0), mode
+        results[mode] = (occ, enth, nacc)
+    np.testing.assert_array_equal(results["qary"][0], results["select"][0])
+    np.testing.assert_array_equal(results["qary"][2], results["select"][2])
+    np.testing.assert_allclose(
+        results["qary"][1], results["select"][1], rtol=0, atol=1e-9
+    )
 
 
 def test_tableflip_chain_matches_enumeration(monkeypatch):

@@ -77,14 +77,47 @@ def test_rationalize_and_integerize():
     assert mul == 2
 
 
+def _int_det(mat):
+    """Exact integer determinant (Bareiss fraction-free elimination).
+
+    Transform matrices from compute_snf can carry entries far beyond
+    float precision, so np.linalg.det is useless for the unimodularity
+    check.
+    """
+    m = [[int(x) for x in row] for row in np.asarray(mat)]
+    n = len(m)
+    sign, prev = 1, 1
+    for k in range(n - 1):
+        if m[k][k] == 0:
+            for i in range(k + 1, n):
+                if m[i][k]:
+                    m[k], m[i] = m[i], m[k]
+                    sign = -sign
+                    break
+            else:
+                return 0
+        for i in range(k + 1, n):
+            for j in range(k + 1, n):
+                m[i][j] = (m[i][j] * m[k][k] - m[i][k] * m[k][j]) // prev
+        prev = m[k][k]
+    return sign * m[n - 1][n - 1]
+
+
 @pytest.mark.parametrize("seed", range(5))
-def test_snf_identities(seed, rng):
-    a = rng.integers(-4, 5, size=(3, 4))
+@pytest.mark.parametrize(
+    "shape,lim", [((3, 4), 4), ((4, 3), 4), ((5, 5), 30), ((2, 6), 12)]
+)
+def test_snf_identities(seed, shape, lim, rng):
+    a = rng.integers(-lim, lim + 1, size=shape)
     s, m, t = compute_snf(a)
-    # factorization: m = s @ a @ t, with unimodular s, t
-    np.testing.assert_array_equal(m, s @ np.asarray(a) @ t)
-    assert abs(round(np.linalg.det(s))) == 1
-    assert abs(round(np.linalg.det(t))) == 1
+    # factorization: m = s @ a @ t, with unimodular s, t (exact ints)
+    sa = np.asarray(a, dtype=object)
+    np.testing.assert_array_equal(
+        np.asarray(m, dtype=object),
+        np.asarray(s, dtype=object) @ sa @ np.asarray(t, dtype=object),
+    )
+    assert abs(_int_det(s)) == 1
+    assert abs(_int_det(t)) == 1
     # diagonal with divisibility chain
     off = m.copy()
     np.fill_diagonal(off, 0)
@@ -93,6 +126,10 @@ def test_snf_identities(seed, rng):
     nz = diag[diag > 0]
     for i in range(len(nz) - 1):
         assert nz[i + 1] % nz[i] == 0
+    # zero diagonal entries trail the nonzero ones (solve_diophantines
+    # relies on this ordering to split the kernel basis)
+    if len(nz):
+        assert np.all(diag[: len(nz)] > 0)
 
 
 def test_solve_diophantines_charge_neutral():
