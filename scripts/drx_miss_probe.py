@@ -12,6 +12,7 @@ Writes DRX_MISS_PROBE.json.
 """
 
 import json
+import os
 import sys
 import time
 import warnings
@@ -49,11 +50,13 @@ def main():
     )
     audit = json.loads((ROOT / "DRX_MATCH_AUDIT.json").read_text())
     miss_idx = [m["index"] for m in audit["misses"]]
-    raw = json.loads(
-        Path(
-            "/root/reference/docs/src/notebooks/data/lmo_drx_entries.json"
-        ).read_text()
+    entries_path = Path(
+        os.environ.get(
+            "SMOL_TPU_DRX_ENTRIES",
+            "/root/reference/docs/src/notebooks/data/lmo_drx_entries.json",
+        )
     )
+    raw = json.loads(entries_path.read_text())
     wranglers = {s: build_wrangler(prim, s) for s in SCALES}
 
     records = {}

@@ -37,6 +37,14 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
             proposals.
         chain_block_size: walkers per chain-kernel block (also the sharing
             granularity).
+        proposal_mode: ``"random"`` (default) draws proposal sites
+            randomly (shared within a block when ``shared_proposals``);
+            ``"sweep"`` (single-flip steps only) visits the active sites
+            in a fixed deterministic cyclic order instead — systematic-
+            scan Metropolis.  The schedule carries no randomness, so the
+            walkers are FULLY INDEPENDENT chains at full chain-kernel
+            speed: the statistically clean choice for across-walker
+            averaging (see the pallas_chain docstring contract).
     """
 
     valid_mcushers = ALL_MCUSHERS
@@ -53,10 +61,14 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         bias_kwargs=None,
         shared_proposals=True,
         chain_block_size=1024,
+        proposal_mode="random",
         **kwargs,
     ):
+        if proposal_mode not in ("random", "sweep"):
+            raise ValueError(f"unknown proposal mode: {proposal_mode!r}")
         self.shared_proposals = bool(shared_proposals)
         self.chain_block_size = int(chain_block_size)
+        self.proposal_mode = str(proposal_mode)
         super().__init__(
             temperature,
             ensemble,
@@ -200,8 +212,8 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         from smol_tpu.moca.kernel.tableflip import TableFlip
         from smol_tpu.ops import pallas_chain
 
-        if not self.shared_proposals:
-            return None
+        if not self.shared_proposals and self.proposal_mode != "sweep":
+            return None  # sweep schedules are walker-independent anyway
         if self.track_features or self._bias is not None:
             return None
         if type(self.mcusher) not in (Flip, Swap):
@@ -255,6 +267,8 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
         if built is None:
             return None
         tables, move, table_move = built
+        if self.proposal_mode == "sweep" and move != "flip":
+            return None  # deterministic sweeps are defined for flips only
         inner = pallas_chain.make_shared_proposal_chain(
             tables,
             n_steps,
@@ -262,6 +276,7 @@ class Metropolis(MetropolisAcceptMixin, ThermalKernelMixin, MCKernel):
             interpret=pallas_chain.interpret_mode(),
             move=move,
             table_move=table_move,
+            proposal_mode=self.proposal_mode,
         )
         if self._get_fast_tables() is None:
             return inner

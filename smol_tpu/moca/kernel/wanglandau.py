@@ -40,10 +40,14 @@ class WangLandau(MCKernel):
         seed=None,
         shared_proposals=True,
         chain_block_size=1024,
+        proposal_mode="random",
         **kwargs,
     ):
+        if proposal_mode not in ("random", "sweep"):
+            raise ValueError(f"unknown proposal mode: {proposal_mode!r}")
         self.shared_proposals = bool(shared_proposals)
         self.chain_block_size = int(chain_block_size)
+        self.proposal_mode = str(proposal_mode)
         if min_enthalpy > max_enthalpy:
             raise ValueError("min_enthalpy cannot be larger than max_enthalpy.")
         if (max_enthalpy - min_enthalpy) / bin_size <= 1:
@@ -211,8 +215,8 @@ class WangLandau(MCKernel):
         from smol_tpu.moca.kernel.mcusher import Flip, Swap
         from smol_tpu.ops import pallas_chain
 
-        if not self.shared_proposals:
-            return None
+        if not self.shared_proposals and self.proposal_mode != "sweep":
+            return None  # sweep schedules are walker-independent anyway
         if self._bias is not None:
             return None
         if type(self.mcusher) not in (Flip, Swap):
@@ -255,6 +259,8 @@ class WangLandau(MCKernel):
         if built is None:
             return None
         tables, move = built
+        if self.proposal_mode == "sweep" and move != "flip":
+            return None  # deterministic sweeps are defined for flips only
         wl = pallas_chain.WLChain(
             min_enthalpy=float(self._window[0]),
             bin_size=float(self._window[2]),
@@ -271,6 +277,7 @@ class WangLandau(MCKernel):
             interpret=pallas_chain.interpret_mode(),
             move=move,
             wl=wl,
+            proposal_mode=self.proposal_mode,
         )
         full_features = self.full_features_fn()
         natural_params = jnp.asarray(self.natural_params)

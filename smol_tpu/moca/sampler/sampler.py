@@ -281,7 +281,12 @@ class Sampler:
                     if table_bytes > pallas_chain.VMEM_TABLE_BUDGET
                     else "vmem-tables"
                 )
-            parts.append("shared-proposals")
+            if getattr(kern, "proposal_mode", "random") == "sweep":
+                # deterministic site schedule: no shared randomness, so
+                # the walkers are fully independent chains
+                parts.append("sweep-schedule+independent-walkers")
+            else:
+                parts.append("shared-proposals")
         else:
             parts.append("xla-step")
             fast = (

@@ -1433,6 +1433,7 @@ def make_shared_proposal_chain(
     move: str = "flip",
     table_move: TableMove | None = None,
     wl: WLChain | None = None,
+    proposal_mode: str = "random",
 ):
     """Build ``fn(state, key) -> state`` running n_steps shared-site moves.
 
@@ -1460,6 +1461,21 @@ def make_shared_proposal_chain(
     ``mod_factor`` [W] f64 and ``wl_counter`` [W] int32 (see
     :class:`WLChain` for the exact semantics).  ``beta`` is ignored.
 
+    ``proposal_mode="sweep"`` (flip moves only) replaces the shared
+    RANDOM site sequence with a DETERMINISTIC cyclic schedule: one fixed
+    permutation of the active ranks (seeded by a constant, independent of
+    the run key), repeated.  The schedule carries zero randomness, and
+    all remaining draws (acceptance uniforms, proposed codes) are
+    per-walker, so the walkers are FULLY INDEPENDENT, identically
+    distributed chains — across-walker averages lose no effective
+    samples.  Each site update is a pi-invariant Metropolis kernel and
+    the fixed-order composition visits every active site once per R
+    steps (systematic-scan Metropolis), so the stationary distribution
+    is exactly the target; note the schedule proposes each ACTIVE SITE
+    uniformly (once per sweep), whereas ``"random"`` picks a sublattice
+    by ``sublattice_probabilities`` first — the ``sublattice
+    probabilities`` knob is inert in sweep mode.
+
     ``streamed`` keeps the big per-rank tables (gm, gcat) in HBM and
     double-buffers each step's rows into VMEM scratch with async DMA —
     the known-in-advance site sequence makes the prefetch perfect.  Auto
@@ -1469,6 +1485,11 @@ def make_shared_proposal_chain(
     """
     if move not in ("flip", "swap", "table"):
         raise ValueError(f"unknown move type: {move!r}")
+    if proposal_mode not in ("random", "sweep"):
+        raise ValueError(f"unknown proposal mode: {proposal_mode!r}")
+    sweep = proposal_mode == "sweep"
+    if sweep and move != "flip":
+        raise ValueError('proposal_mode="sweep" supports move="flip" only')
     swap = move == "swap"
     table = move == "table"
     if table and table_move is None:
@@ -2032,6 +2053,19 @@ def make_shared_proposal_chain(
             )
             seqs = seqs.astype(jnp.int32)
             vseqs = vseqs.astype(jnp.int32)
+        elif sweep:
+            # deterministic cyclic schedule: one constant-seeded
+            # permutation of the active ranks, repeated across chunks
+            # (all blocks share it — sharing a CONSTANT schedule induces
+            # no cross-walker randomness, see the docstring contract)
+            perm = np.random.default_rng(0x5EED).permutation(R)
+            sched = np.resize(perm, n_chunks * chunk).astype(np.int32)
+            seqs = jnp.asarray(
+                np.broadcast_to(
+                    sched.reshape(n_chunks, 1, chunk), (n_chunks, grid, chunk)
+                )
+            )
+            vseqs = jnp.zeros((n_chunks, 1, 1), jnp.int32)
         else:
             seqs = rank_sequence(
                 tables, k_seq, (n_chunks, grid, chunk)

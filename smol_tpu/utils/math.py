@@ -168,11 +168,46 @@ def compute_snf(a):
     return _fit64(s), _fit64(m), _fit64(t)
 
 
+def _size_reduce_rows(vs):
+    """Greedy pairwise (Lagrange-style) size reduction of lattice rows.
+
+    Repeatedly replaces v_i by v_i - round(<v_i, v_j>/<v_j, v_j>) v_j
+    whenever that strictly shrinks v_i: the spanned lattice is unchanged
+    and every row's norm is non-increasing, so the loop terminates.
+    Short basis vectors matter downstream — they become composition flip
+    vectors, and small flips keep the composition grid well connected.
+    """
+    if len(vs) == 0:
+        return np.zeros(np.shape(vs), dtype=np.int64)
+    vs = np.asarray(vs, dtype=object).copy()  # exact until reduced
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(vs)):
+            for j in range(len(vs)):
+                if i == j:
+                    continue
+                denom = int(vs[j] @ vs[j])
+                if denom == 0:
+                    continue
+                mu = round(int(vs[i] @ vs[j]) / denom)
+                if mu == 0:
+                    continue
+                cand = vs[i] - mu * vs[j]
+                if cand @ cand < vs[i] @ vs[i]:
+                    vs[i] = cand
+                    changed = True
+    return np.array([[int(x) for x in row] for row in vs], dtype=np.int64)
+
+
 def solve_diophantines(a, b=None):
     """Solve the integer system A n = b via Smith normal form.
 
     Returns (n0, vs): a base solution and the lattice basis (rows) such
-    that every integer solution is n0 + x @ vs.
+    that every integer solution is n0 + x @ vs.  The kernel basis is
+    size-reduced and the base solution is pulled toward the origin
+    modulo the kernel lattice, keeping both small regardless of the SNF
+    transform's coefficient growth.
     """
     a = np.asarray(a, dtype=np.int64)
     n, d = a.shape
@@ -187,8 +222,28 @@ def solve_diophantines(a, b=None):
     for i in range(k):
         if c[i] % m[i, i] != 0:
             raise ValueError("Diophantine equations A n = b are not feasible!")
-    n0 = t[:, :k] @ (c[:k] // m.diagonal()[:k])
-    return n0, t[:, k:].T.copy()
+    diag = np.array([int(m[i, i]) for i in range(k)], dtype=object)
+    n0 = np.asarray(t[:, :k], dtype=object) @ (
+        np.asarray(c[:k], dtype=object) // diag
+    )
+    vs = _size_reduce_rows(t[:, k:].T)
+    # reduce the base solution modulo the kernel lattice (exact big-int
+    # arithmetic until after the reduction: the raw SNF-transform image
+    # of b can exceed int64 even when the reduced solution is tiny)
+    changed = True
+    while changed:
+        changed = False
+        for v in vs:
+            vo = np.asarray(v, dtype=object)
+            denom = int(vo @ vo)
+            if denom == 0:
+                continue
+            mu = round(int(n0 @ vo) / denom)
+            cand = n0 - mu * vo
+            if mu and cand @ cand < n0 @ n0:
+                n0 = cand
+                changed = True
+    return np.asarray([int(x) for x in n0], dtype=np.int64), vs
 
 
 def get_nonneg_float_vertices(a, b):

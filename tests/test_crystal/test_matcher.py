@@ -363,9 +363,19 @@ def test_avg_lattice_metric_pymatgen_semantics(fcc_setup):
         Lattice(lat2), [dict(s.species) for s in supercell], frac % 1
     )
     # margin arithmetic: the displacement is over tolerance in the ideal
-    # metric and under it in the averaged metric
+    # metric and under it in the averaged metric.  The average follows
+    # pymatgen's semantics exactly: the six lattice PARAMETERS of the two
+    # volume-rescaled cells are averaged (rotation/reflection independent)
     ratio = (abs(np.linalg.det(lat2)) / vol1) ** (1 / 6)
-    lavg = (lat1 * ratio + lat2 / ratio) / 2
+    lens = (
+        np.linalg.norm(lat1 * ratio, axis=1)
+        + np.linalg.norm(lat2 / ratio, axis=1)
+    ) / 2
+    angs = (
+        np.asarray(supercell.lattice.angles)
+        + np.asarray(Lattice(lat2).angles)
+    ) / 2
+    lavg = Lattice.from_parameters(*lens, *angs).matrix
     d_ideal = np.linalg.norm((frac[0] - supercell.frac_coords[0]) @ lat1)
     d_avg = np.linalg.norm((frac[0] - supercell.frac_coords[0]) @ lavg)
     max_d_avg = matcher.stol * (
@@ -375,17 +385,26 @@ def test_avg_lattice_metric_pymatgen_semantics(fcc_setup):
     assert d_avg < max_d_avg, "setup: must fit the averaged-metric tolerance"
     mapping = matcher.get_mapping(supercell, relaxed)
     assert mapping is not None
-    assert mapping[0] == 0  # the displaced site still maps home
+    # the mapping is a permutation consistent with ONE rigid lattice
+    # translation (the matcher may anchor on any compatible site; a
+    # translated assignment is crystallographically equivalent)
+    assert sorted(mapping) == list(range(len(supercell)))
+    shifts = (
+        supercell.frac_coords[mapping] - relaxed.frac_coords
+    ) % 1
+    shifts = np.where(shifts > 0.5, shifts - 1, shifts)
+    assert np.allclose(shifts[1:], shifts[1], atol=0.02), shifts
 
 
 def test_degenerate_average_falls_back_to_ideal_metric(fcc_setup):
     """Opposed candidate bases must not produce a NaN/degenerate metric.
 
-    A candidate supercell basis with rows opposed to the structure's
-    (e.g. a reflected variant of the same sublattice) cancels in the
-    blind average; the matcher must fall back to the ideal supercell
-    metric instead of dividing by zero (regression: LLL reduction NaN'd
-    on the degenerate average during verification driving).
+    A fully inverted basis has the same lattice PARAMETERS (lengths and
+    angles are reflection-invariant), so pymatgen's parameter-averaged
+    metric — which the matcher now follows exactly — is well defined and
+    the inversion-symmetric FCC cell maps onto itself.  (A matrix
+    average would cancel to ~zero here and NaN the LLL reduction — the
+    round-4 implementation needed an explicit fallback for that.)
     """
     prim, subspace, scm, structure, _ = fcc_setup
     matcher = StructureMatcher(ltol=0.2, stol=0.3, angle_tol=6)

@@ -7,8 +7,12 @@ data (reference docs/src/notebooks/data/lmo_drx_*.json; workflow in
 lmo-drx-ce-mc.ipynb).  This is BASELINE config 3's system class:
 charge-decorated species, an EwaldTerm external column, sinusoid basis,
 species-count supercell sizing.  On the full 638 entries at the
-tutorial's tolerances this repo matches 236 vs the reference's recorded
-238 ("238, 387" feature matrix in the notebook output).
+tutorial's tolerances this repo matches 233 vs the reference's recorded
+238 ("238, 387" feature matrix in the notebook output; see
+DRX_MATCH_AUDIT.json): the matcher follows pymatgen's parameter-averaged
+lattice metric exactly, and the residual 5-entry (0.8%) shortfall is
+bounded-candidate-search conservatism — it never accepts a structure the
+upstream pipeline would reject.
 """
 
 import json
@@ -60,14 +64,20 @@ def test_feature_width_and_matches(drx_wrangler):
     width = wrangler.cluster_subspace.num_corr_functions + len(
         wrangler.cluster_subspace.external_terms
     )
+    # 387 is REFERENCE-VERIFIED: the notebook's recorded feature width
+    # ("238, 387") — 386 correlation functions + 1 Ewald column
     assert width == 387
-    # exact measured value on the 40-entry head at the tutorial's
-    # tolerances (ltol=0.15, stol=0.2, angle_tol=15)
-    assert wrangler.num_structures == 16
+    # SELF-RECORDED pins (this pipeline's measured values at the
+    # tutorial's tolerances, ltol=0.15/stol=0.2/angle_tol=15): the
+    # reference notebook does not record per-head-40 counts.  15/40
+    # matched under the pymatgen parameter-averaged metric (round 5);
+    # the round-4 matrix-averaged metric matched 16 — the dropped entry
+    # is a near-threshold accept the parameter metric rejects.
+    assert wrangler.num_structures == 15
     matrix = wrangler.feature_matrix
-    assert matrix.shape == (16, 387)
+    assert matrix.shape == (15, 387)
     # first matched entry (10 prims): pinned correlation head + Ewald
-    # column (eV/prim) — recorded from this pipeline and stable at f64
+    # column (eV/prim) — SELF-RECORDED from this pipeline, stable at f64
     np.testing.assert_allclose(
         matrix[0, :8],
         [

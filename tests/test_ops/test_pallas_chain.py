@@ -697,6 +697,98 @@ def test_semigrand_matches_enumeration(monkeypatch):
     assert abs(mc_mean - exact) < max(30 * sem, 2e-2), (mc_mean, exact, sem)
 
 
+def test_sweep_schedule_accum_parity_and_path(monkeypatch):
+    """Deterministic-sweep flips: exact accumulation on binary (Ising),
+    ternary (q-ary), and the Sampler's path marker.
+
+    proposal_mode="sweep" replaces the shared random site sequence with
+    a fixed cyclic schedule; all remaining randomness is per-walker, so
+    walkers are fully independent chains (pallas_chain docstring).
+    """
+    ce_b = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
+    ens_b = Ensemble.from_cluster_expansion(
+        ce_b, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.3, "Cu": 0.0}
+    )
+    _accum_parity(ens_b, proposal_mode="sweep")
+    ce_t = random_expansion(fcc_ternary_prim(), {2: 5.5, 3: 4.0}, seed=7)
+    ens_t = Ensemble.from_cluster_expansion(
+        ce_t, np.diag([2, 2, 2]),
+        chemical_potentials={"Au": 0.05, "Ag": 0.0, "Cu": -0.05},
+    )
+    _accum_parity(ens_t, proposal_mode="sweep")
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+    sampler = Sampler.from_ensemble(
+        ens_b, temperature=900.0, nwalkers=4, seed=3, proposal_mode="sweep"
+    )
+    assert sampler._get_chain_fn(25) is not None
+    assert "sweep-schedule+independent-walkers" in sampler.execution_path(25)
+    # sweeps are flip-only: canonical swaps must fall back (no chain fn)
+    ens_cn = Ensemble.from_cluster_expansion(ce_b, np.diag([2, 2, 2]))
+    s_cn = Sampler.from_ensemble(
+        ens_cn, temperature=900.0, nwalkers=4, seed=3, proposal_mode="sweep"
+    )
+    assert s_cn._get_chain_fn(25) is None
+
+
+def test_sweep_semigrand_matches_enumeration(monkeypatch):
+    """Sweep-schedule SGC averages match exact Boltzmann enumeration.
+
+    Systematic-scan Metropolis is pi-invariant per site update and the
+    cyclic schedule visits every active site, so the stationary
+    distribution is exactly the semigrand Boltzmann measure; since the
+    walkers are fully independent the across-walker standard error needs
+    no shared-sequence widening.
+    """
+    from smol_tpu.cofe import ClusterSubspace
+    from smol_tpu.cofe.expansion import ClusterExpansion
+    from smol_tpu.crystal import Lattice, Structure
+
+    monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
+
+    a = 3.8
+    lat = Lattice(np.array([[0, 0.5, 0.5], [0.5, 0, 0.5], [0.5, 0.5, 0]]) * a)
+    prim = Structure(lat, [{"Au": 0.5, "Cu": 0.5}], [[0, 0, 0]])
+    cs = ClusterSubspace.from_cutoffs(prim, {2: 3.0})
+    rng = np.random.default_rng(5)
+    coefs = rng.normal(scale=0.02, size=cs.num_corr_functions)
+    coefs[0] = -0.5
+    ce = ClusterExpansion(cs, coefs)
+
+    temperature = 2000.0
+    ens = Ensemble.from_cluster_expansion(
+        ce, np.diag([2, 2, 2]), chemical_potentials={"Au": 0.05, "Cu": -0.05}
+    )
+    beta = 1 / (kB * temperature)
+    energies, weights = [], []
+    for bits in product((0, 1), repeat=ens.num_sites):
+        occu = np.array(bits, dtype=np.int32)
+        feats = ens.compute_feature_vector(occu)
+        h = float(np.dot(feats, ens.natural_parameters))
+        energies.append(h)
+        weights.append(-beta * h)
+    weights = np.exp(weights - np.max(weights))
+    exact = float(np.dot(energies, weights) / weights.sum())
+
+    nwalkers = 16
+    occu = np.random.default_rng(4).integers(
+        0, 2, (nwalkers, ens.num_sites)
+    ).astype(np.int32)
+    sampler = Sampler.from_ensemble(
+        ens, temperature=temperature, nwalkers=nwalkers, seed=23,
+        proposal_mode="sweep",
+    )
+    assert sampler._get_chain_fn(20) is not None, "sweep chain not selected"
+    assert "sweep-schedule" in sampler.execution_path(20)
+    sampler.run(4000, occu, thin_by=20)
+    mc_mean = sampler.samples.mean_enthalpy(discard=50)
+    sem = np.sqrt(
+        sampler.samples.enthalpy_variance(discard=50)
+        / sampler.samples.get_enthalpies(discard=50).shape[0]
+    )
+    assert abs(mc_mean - exact) < max(6 * sem, 5e-3), (mc_mean, exact, sem)
+
+
 def test_sampler_trace_consistency(monkeypatch):
     monkeypatch.setenv("SMOL_TPU_CHAIN_INTERPRET", "1")
     ce = random_expansion(fcc_binary_prim(), {2: 6.0, 3: 4.0}, seed=7)
