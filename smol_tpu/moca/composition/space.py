@@ -91,30 +91,23 @@ class CompositionSpace(MSONable):
         self.num_dims = sum(len(s) for s in self.site_spaces)
         self.dim_ids = get_dim_ids_by_sublattice(self.site_spaces)
 
-        # sorted distinct species (merging all vacancies into one)
-        species = []
-        for sp in set(chain(*self.site_spaces)):
-            if isinstance(sp, Vacancy) and any(
-                isinstance(s, Vacancy) for s in species
-            ):
-                continue
-            species.append(sp)
-        self.species = sorted(species)
-
-        self.species_ids = []
-        for sl_species in self.site_spaces:
-            ids = []
-            for sp in sl_species:
-                if isinstance(sp, Vacancy):
-                    ids.append(
-                        next(
-                            i for i, s in enumerate(self.species)
-                            if isinstance(s, Vacancy)
-                        )
-                    )
-                else:
-                    ids.append(self.species.index(sp))
-            self.species_ids.append(ids)
+        # sorted distinct species; all Vacancy flavors collapse to one slot
+        distinct = {
+            ("__vacancy__" if isinstance(sp, Vacancy) else sp): sp
+            for sp in chain(*self.site_spaces)
+        }
+        self.species = sorted(distinct.values())
+        slot_of = {
+            ("__vacancy__" if isinstance(sp, Vacancy) else sp): i
+            for i, sp in enumerate(self.species)
+        }
+        self.species_ids = [
+            [
+                slot_of["__vacancy__" if isinstance(sp, Vacancy) else sp]
+                for sp in sl_species
+            ]
+            for sl_species in self.site_spaces
+        ]
 
         if sublattice_sizes is None:
             self.sublattice_sizes = [1] * len(self.site_spaces)
@@ -130,41 +123,13 @@ class CompositionSpace(MSONable):
         self.table_ergodic = table_ergodic
 
         self.other_constraints = other_constraints
-        if self.other_constraints is not None:
-            eq_constraints = self.other_constraints["eq"]
-            leq_constraints = self.other_constraints["leq"]
-        else:
-            eq_constraints, leq_constraints = [], []
-
-        # constraint system A n = b (per prim)
-        a_rows, b_vals = [], []
-        if charge_neutral:
-            a_rows.append(
-                [get_oxi_state(sp) for sl in self.site_spaces for sp in sl]
-            )
-            b_vals.append(0)
-        for dim_id, size in zip(self.dim_ids, self.sublattice_sizes):
-            row = np.zeros(self.num_dims, dtype=int)
-            row[dim_id] = 1
-            a_rows.append(row.tolist())
-            b_vals.append(size)
-        for a, bb in eq_constraints:
-            if len(a) != self.num_dims:
-                raise ValueError(
-                    f"Constraint length {len(a)} does not match dimensions "
-                    f"{self.num_dims}!"
-                )
-            a_int, scale = integerize_vector(a)
-            a_rows.append(a_int.tolist())
-            b_vals.append(bb * scale)
-        self._A = np.array(a_rows, dtype=np.int64)
-        self._b = np.array(b_vals)
+        parsed = self.other_constraints or {"eq": [], "leq": []}
+        self._A, self._b = self._equality_system(parsed["eq"])
         if np.linalg.matrix_rank(self._A) >= self.num_dims:
             raise ValueError("Valid constraints more than number of dimensions!")
-
-        if leq_constraints:
-            self._A_leq = np.array([a for a, _ in leq_constraints])
-            self._b_leq = np.array([bb for _, bb in leq_constraints])
+        if parsed["leq"]:
+            self._A_leq = np.array([a for a, _ in parsed["leq"]])
+            self._b_leq = np.array([bb for _, bb in parsed["leq"]])
         else:
             self._A_leq = None
             self._b_leq = None
@@ -175,6 +140,41 @@ class CompositionSpace(MSONable):
         self._n0 = None
         self._vs = None
         self._comp_grids = {}
+
+    def _equality_system(self, eq_constraints):
+        """The per-prim equality system A n = b.
+
+        Row blocks, in order: one charge-balance row (when requested), one
+        site-conservation row per sublattice (built as a single block
+        identity-scatter), then the user equality constraints scaled to
+        integers.
+        """
+        blocks, rhs = [], []
+        if self.charge_neutral:
+            blocks.append(
+                np.array(
+                    [[get_oxi_state(sp) for sl in self.site_spaces for sp in sl]],
+                    dtype=np.int64,
+                )
+            )
+            rhs.append([0])
+        conservation = np.zeros(
+            (len(self.site_spaces), self.num_dims), dtype=np.int64
+        )
+        for row, dim_id in enumerate(self.dim_ids):
+            conservation[row, dim_id] = 1
+        blocks.append(conservation)
+        rhs.append(self.sublattice_sizes)
+        for a, bb in eq_constraints:
+            if len(a) != self.num_dims:
+                raise ValueError(
+                    f"Constraint length {len(a)} does not match dimensions "
+                    f"{self.num_dims}!"
+                )
+            a_int, scale = integerize_vector(a)
+            blocks.append(a_int[None, :].astype(np.int64))
+            rhs.append([bb * scale])
+        return np.vstack(blocks), np.concatenate(rhs)
 
     # ---------------- geometry of the space ----------------
 

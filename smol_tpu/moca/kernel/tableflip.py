@@ -113,114 +113,127 @@ class TableFlip(MCUsher):
 
     # ---------------- host path ----------------
 
+    def _direction_weights(self, counts):
+        """Feasibility-masked weights over the 2F signed directions.
+
+        A direction is feasible when applying it keeps every species count
+        within [0, max_n]; infeasible directions get weight zero.
+        """
+        feasible = flip_weights_mask(self.flip_table, counts, self.max_n)
+        return self.flip_weights * feasible.astype(float)
+
     def propose_step(self, occupancy):
-        """Propose a table flip (reference mcusher.py:553-639)."""
+        """Propose a table flip (semantics of reference mcusher.py:553-639).
+
+        Site selection uses the same shuffle-and-deal scheme as the device
+        kernel (device_proposal): draw every donor site uniformly without
+        replacement, pool the donors per sublattice, shuffle the pool
+        uniformly, and deal it to the acceptor dims in order — the same
+        proposal distribution as sequential without-replacement draws.
+        """
         rng = self._rng
         if rng.random() < self.swap_weight:
             return self._swapper.propose_step(occupancy)
 
-        species_list = occu_to_species_list(occupancy, self.d, self._dim_ids_table)
-        species_n = [len(sites) for sites in species_list]
-        species_list_full = occu_to_species_list(
-            occupancy, self.d, self._dim_ids_full
-        )
-        species_n_full = [len(sites) for sites in species_list_full]
-
-        if not np.allclose(
-            self._comp_space._A @ np.array(species_n_full),
+        pools = occu_to_species_list(occupancy, self.d, self._dim_ids_table)
+        full_counts = [
+            len(p)
+            for p in occu_to_species_list(occupancy, self.d, self._dim_ids_full)
+        ]
+        on_manifold = np.allclose(
+            self._comp_space._A @ np.array(full_counts),
             self._comp_space._b * self.supercell_size,
-        ):
+        )
+        if on_manifold:
+            sector_weights = self._direction_weights([len(p) for p in pools])
+        else:
             warnings.warn(
                 "Current occupancy violates CompositionSpace constraints! "
                 "Are you initializing trace?"
             )
-            mask = np.zeros(2 * len(self.flip_table), dtype=int)
-        else:
-            mask = flip_weights_mask(
-                self.flip_table, species_n, self.max_n
-            ).astype(int)
-        masked_weights = self.flip_weights * mask
-        if np.any(masked_weights <= -NUM_TOL):
-            raise ValueError(f"Masked weights {masked_weights} negative!")
-        if np.allclose(masked_weights, 0):
+            sector_weights = np.zeros(2 * len(self.flip_table))
+        if np.any(sector_weights <= -NUM_TOL):
+            raise ValueError(f"Masked weights {sector_weights} negative!")
+        if np.allclose(sector_weights, 0):
             if not np.allclose(occupancy, 0):
                 warnings.warn(
                     "Current occupancy is not ergodic! Will do canonical swap only!"
                 )
             return self._swapper.propose_step(occupancy)
 
-        idx = choose_section_from_partition(masked_weights, rng=rng)
-        u = self.flip_table[idx // 2]
-        if idx % 2 == 1:
-            u = -u
+        pick = choose_section_from_partition(sector_weights, rng=rng)
+        u = (1 - 2 * (pick % 2)) * self.flip_table[pick // 2]
 
         step = []
         for sublatt, dim_ids in zip(self.sublattices, self.dim_ids):
             if not sublatt.is_active:
                 continue
-            site_ids = []
-            dim_ids = np.array(dim_ids, dtype=int)
+            dim_ids = np.asarray(dim_ids, dtype=int)
             u_sl = u[dim_ids]
-            dims_from = dim_ids[u_sl < 0]
-            dims_to = dim_ids[u_sl > 0]
-            codes_to = sublatt.encoding[u_sl > 0]
-            for d in dims_from:
-                site_ids.extend(
-                    rng.choice(
-                        species_list[d], size=-u[d], replace=False
-                    ).tolist()
+            donors = [
+                site
+                for d in dim_ids[u_sl < 0]
+                for site in rng.choice(pools[d], size=-u[d], replace=False)
+            ]
+            if not donors:
+                continue
+            dealt = rng.permutation(np.asarray(donors, dtype=int))
+            offset = 0
+            for d, code in zip(dim_ids[u_sl > 0], sublatt.encoding[u_sl > 0]):
+                step.extend(
+                    (int(site), int(code))
+                    for site in dealt[offset: offset + u[d]]
                 )
-            for d, code in zip(dims_to, codes_to):
-                for site_id in rng.choice(site_ids, size=u[d], replace=False):
-                    step.append((int(site_id), int(code)))
-                    site_ids.remove(site_id)
-            assert len(site_ids) == 0
+                offset += u[d]
+            assert offset == len(dealt)
         return step
 
-    def _get_flip_id(self, occupancy, step):
-        """Identify which table flip (and direction) a step corresponds to."""
+    def _match_direction(self, occupancy, step):
+        """Signed-direction index (into 2F) of a step, -1 for a null move.
+
+        Raises when the step's species-count change is not (+-) a flip-table
+        row.
+        """
         dn = delta_counts_from_step(occupancy, step, self.d, self._dim_ids_table)
-        if np.allclose(dn, 0):
-            return -1, 0
-        for fid, v in enumerate(self.flip_table):
-            if np.allclose(v, dn):
-                return fid, 0
-            if np.allclose(-v, dn):
-                return fid, 1
-        return None, None
+        if not np.any(dn):
+            return -1
+        hits = np.flatnonzero(
+            np.all(self.flip_table == dn[None, :], axis=1)
+        )
+        if hits.size:
+            return 2 * int(hits[0])
+        hits = np.flatnonzero(
+            np.all(self.flip_table == -dn[None, :], axis=1)
+        )
+        if hits.size:
+            return 2 * int(hits[0]) + 1
+        raise ValueError(f"Step {step} is not in flip table.")
 
     def compute_log_priori_factor(self, occupancy, step) -> float:
-        """Detailed-balance log factor (reference mcusher.py:656-711)."""
+        """Detailed-balance log factor (matches reference mcusher.py:656-711).
+
+        log[p(reverse)/p(forward)] for the direction-choice probabilities
+        plus the count-combinatorics gammaln terms of the site choices.
+        """
         from scipy.special import gammaln
 
-        fid, direction = self._get_flip_id(occupancy, step)
-        if fid is None:
-            raise ValueError(f"Step {step} is not in flip table.")
-        if fid < 0:
+        pick = self._match_direction(occupancy, step)
+        if pick < 0:  # canonical-swap moves carry no composition factor
             return 0.0
+        reverse = pick + 1 - 2 * (pick % 2)
+        u = (1 - 2 * (pick % 2)) * self.flip_table[pick // 2]
 
-        u = (1 - 2 * direction) * self.flip_table[fid]
         n_now = occu_to_counts(occupancy, self.d, self._dim_ids_table)
-        mask_now = flip_weights_mask(self.flip_table, n_now, self.max_n).astype(int)
-        weights_now = self.flip_weights * mask_now
-        p_now = (
-            (1 - self.swap_weight)
-            * weights_now[fid * 2 + direction]
-            / weights_now.sum()
-        )
         n_next = n_now + u
-        mask_next = flip_weights_mask(
-            self.flip_table, n_next, self.max_n
-        ).astype(int)
-        weights_next = self.flip_weights * mask_next
-        p_next = (
-            (1 - self.swap_weight)
-            * weights_next[fid * 2 + (1 - direction)]
-            / weights_next.sum()
+        w_now = self._direction_weights(n_now)
+        w_next = self._direction_weights(n_next)
+        log_factor = np.log(
+            (w_next[reverse] / w_next.sum()) / (w_now[pick] / w_now.sum())
         )
-        log_factor = np.log(p_next / p_now)
-        for dim in np.nonzero(~np.isclose(u, 0))[0]:
-            log_factor += gammaln(n_now[dim] + 1) - gammaln(n_next[dim] + 1)
+        changed = np.flatnonzero(u)
+        log_factor += np.sum(
+            gammaln(n_now[changed] + 1) - gammaln(n_next[changed] + 1)
+        )
         return float(log_factor)
 
     # ---------------- device path ----------------

@@ -41,7 +41,14 @@ acceptance evaluates in f32; recorded trace enthalpies are recomputed in
 exact f64 from occupancies at thinning points, so traces carry no drift.
 With an Ewald term the delta's electrostatic part accumulates its dot
 product in f32 (~1e-6 relative) — acceptance-grade, not bookkeeping-grade;
-bookkeeping stays exact via the thin-point recomputation.
+bookkeeping stays exact via the thin-point recomputation.  The resulting
+acceptance-decision bias is measured, not waved at: on equilibrated
+states the per-move decision-flip probability E|p_f32 - p_f64| is 2e-14
+at the benched 112-site spinel and 4e-13 at 378 sites, with the absolute
+delta error (max 2.3e-7 / 9.5e-7 eV) growing ~linearly with the mean
+Ewald row L1 norm — i.e. with active-site count — so the worst-case bound
+beta*max|err| stays < 1e-5 per move at 2000 K well past bench scale
+(tests/test_ops/test_ewald_f32_bias.py).
 
 Reference analog: the per-flip delta kernels
 smol/utils/cluster/evaluator.pyx:211 and smol/utils/cluster/ewald.pyx:9,
