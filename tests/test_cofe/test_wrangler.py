@@ -168,3 +168,65 @@ def test_wrangler_relaxed_entries():
     np.testing.assert_allclose(
         wrangler.feature_matrix @ coefs, energies, atol=1e-10
     )
+
+
+def test_composition_select_biases_toward_target(rng):
+    from smol_tpu.cofe.wrangling import composition_select
+
+    concentrations = rng.random((40, 2))
+    concentrations /= concentrations.sum(axis=1, keepdims=True)
+    target = np.array([0.5, 0.5])
+    sizes = rng.integers(1, 5, 40)
+    picks = composition_select(concentrations, target, sizes, 12, rng=7)
+    assert len(picks) == 12
+    assert picks == sorted(picks)
+    assert len(set(picks)) == 12
+    assert all(0 <= p < 40 for p in picks)
+    # selection is biased toward the target composition
+    dist = np.linalg.norm(concentrations - target, axis=1)
+    assert dist[picks].mean() < dist.mean()
+    # never more samples than structures
+    assert len(composition_select(concentrations, target, sizes, 100, rng=7)) == 40
+
+
+def test_max_ewald_energy_indices():
+    from smol_tpu.benchmarks.systems import spinel_prim
+    from smol_tpu.capp import generate_random_ordered_occupancy
+    from smol_tpu.cofe.extern import EwaldTerm
+    from smol_tpu.cofe.wrangling import max_ewald_energy_indices
+    from smol_tpu.moca.processor.expansion import ClusterExpansionProcessor
+
+    subspace = ClusterSubspace.from_cutoffs(spinel_prim(), {2: 4.0})
+    # without an Ewald term the filter must refuse
+    plain = StructureWrangler(subspace)
+    with pytest.raises(RuntimeError):
+        max_ewald_energy_indices(plain, 1.0)
+
+    subspace_ew = ClusterSubspace.from_cutoffs(spinel_prim(), {2: 4.0})
+    subspace_ew.add_external_term(EwaldTerm())
+    wrangler = StructureWrangler(subspace_ew)
+    rng = np.random.default_rng(11)
+    scm = np.diag([1, 1, 1])
+    processor = ClusterExpansionProcessor(
+        subspace_ew, scm, np.ones(subspace_ew.num_corr_functions)
+    )
+    for _ in range(5):
+        occu = generate_random_ordered_occupancy(
+            processor, charge_neutral=True, rng=rng
+        )
+        structure = processor.structure_from_occupancy(occu)
+        wrangler.add_entry(
+            ComputedStructureEntry(structure, 0.0), verbose=False
+        )
+    ewald = wrangler.feature_matrix[:, -1]
+    span = float(ewald.max() - ewald.min())
+    assert span > 0  # random charge-neutral decorations differ
+    keep = max_ewald_energy_indices(wrangler, span / 2)
+    expected = np.nonzero(ewald - ewald.min() <= span / 2)[0]
+    np.testing.assert_array_equal(keep, expected)
+    keep2, dropped = max_ewald_energy_indices(
+        wrangler, span / 2, return_compliment=True
+    )
+    np.testing.assert_array_equal(keep2, expected)
+    assert set(keep2) | set(dropped) == set(range(wrangler.num_structures))
+    assert not set(keep2) & set(dropped)

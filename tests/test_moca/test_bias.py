@@ -145,3 +145,51 @@ def test_square_charge_bias():
         ]
     )
     assert np.abs(charges).mean() < 1.0
+
+
+def test_square_hyperplane_bias(rng):
+    """-penalty * ||A n - b||^2 over species counts, host + device parity."""
+    from smol_tpu.moca.kernel.bias import SquareHyperplaneBias
+
+    ce = random_expansion(fcc_binary_prim(), {2: 3.0}, seed=3)
+    ens = Ensemble.from_cluster_expansion(ce, np.diag([2, 2, 2]))
+    # one hyperplane: exactly 4 Au (dim 0) in the 8-site cell
+    bias = mcbias_factory(
+        "square-hyperplane-bias",
+        ens.sublattices,
+        hyperplane_normals=[[1.0, 0.0]],
+        hyperplane_intercepts=[4.0],
+        penalty=1.5,
+    )
+    assert isinstance(bias, SquareHyperplaneBias)
+    with pytest.raises(ValueError):
+        SquareHyperplaneBias(
+            ens.sublattices, [[1.0, 0.0]], [4.0], penalty=-1.0
+        )
+
+    occu = rng.integers(0, 2, 8).astype(np.int32)
+    n_au = int(np.sum(occu == 0))
+    assert bias.compute_bias(occu) == pytest.approx(-1.5 * (n_au - 4.0) ** 2)
+    occu_on = np.array([0, 0, 0, 0, 1, 1, 1, 1], dtype=np.int32)
+    assert bias.compute_bias(occu_on) == pytest.approx(0.0)
+
+    # change consistency and device-fn parity on a flip
+    step = [(2, 1 - int(occu[2]))]
+    occu2 = occu.copy()
+    occu2[2] = step[0][1]
+    delta = bias.compute_bias_change(occu, step)
+    assert delta == pytest.approx(
+        bias.compute_bias(occu2) - bias.compute_bias(occu), abs=1e-12
+    )
+    import jax.numpy as jnp
+
+    fn = bias.device_delta_fn()
+    d_dev = float(
+        fn(
+            jnp.asarray(occu),
+            jnp.asarray([2], dtype=jnp.int32),
+            jnp.asarray([step[0][1]], dtype=jnp.int32),
+            jnp.asarray([True]),
+        )
+    )
+    assert d_dev == pytest.approx(delta, abs=1e-10)
