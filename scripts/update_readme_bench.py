@@ -49,12 +49,25 @@ ROWS = {
         "distance chain kernel",
     ),
     "spinel-independent": (
-        "spinel with `shared_proposals=False` (independence price)",
+        "spinel, fully independent walkers (deterministic sweep schedule)",
+        "sweep-schedule chain",
+    ),
+    "spinel-independent-random": (
+        "spinel, independent RANDOM proposal streams (legacy price)",
         "per-walker XLA step path",
     ),
+    "spinel-thin100": (
+        "spinel headline at thin_by=100 (300 records/run incl. exact-f64 "
+        "thin-point recompute)",
+        "shared-proposal chain + thin recompute",
+    ),
 }
-# the independence-price row is informative, not a BASELINE config
-NON_BASELINE = {"spinel-independent"}
+# informative extra rows beyond the BASELINE configs
+NON_BASELINE = {
+    "spinel-independent",
+    "spinel-independent-random",
+    "spinel-thin100",
+}
 
 
 def main():
@@ -62,7 +75,11 @@ def main():
         r["config"]: r
         for r in json.loads((ROOT / "BENCH_configs.json").read_text())
     }
-    lines = ["| config | attempts/s | vs 1e8 target | path |", "|---|---|---|---|"]
+    lines = [
+        "| config | attempts/s | vs 1e8 target | ESS frac | eff. samples/s "
+        "| path |",
+        "|---|---|---|---|---|---|",
+    ]
     n_ok = n_meas = 0
     for cfg, (desc, path) in ROWS.items():
         rec = results.get(cfg)
@@ -70,7 +87,7 @@ def main():
             # a crash is a crash: render it as a failure, never as a
             # policy-sounding label (VERDICT round 3, weak item 3)
             lines.append(
-                f"| {desc} | **FAILED** ({rec['error']}) | — | {path} |"
+                f"| {desc} | **FAILED** ({rec['error']}) | — | — | — | {path} |"
             )
             continue
         if rec is not None and (
@@ -81,7 +98,7 @@ def main():
             rec = {"error": f"non-TPU record ({rec.get('platform')})"}
         if rec is None or "value" not in rec:
             err = (rec or {}).get("error", "not measured")
-            lines.append(f"| {desc} | ({err}) | — | {path} |")
+            lines.append(f"| {desc} | ({err}) | — | — | — | {path} |")
             continue
         # prefer the dispatched path recorded by the benchmark itself
         path = rec.get("path", path)
@@ -91,8 +108,16 @@ def main():
             n_meas += 1
             if ratio >= 1.0:
                 n_ok += 1
+        # across-walker statistical effectiveness of shared proposals
+        # (VERDICT round 4, weak item 3): blocks share site sequences, so
+        # attempts/s overstates ensemble-averaging power by 1/ess_fraction
+        ess = rec.get("ess_fraction")
+        eff = rec.get("effective_samples_per_sec")
+        ess_s = f"{min(ess, 1.0):.2f}" if ess is not None else "—"
+        eff_s = f"{eff / 1e6:.1f} M" if eff is not None else "—"
         lines.append(
-            f"| {desc} | **{v / 1e6:.1f} M** | **{ratio:.2f}x** | {path} |"
+            f"| {desc} | **{v / 1e6:.1f} M** | **{ratio:.2f}x** | {ess_s} "
+            f"| {eff_s} | {path} |"
         )
     if n_ok == n_meas == len(ROWS) - len(NON_BASELINE):
         claim = (
