@@ -352,6 +352,12 @@ class MCKernel(StandardSingleStepMixin, MCKernelInterface):
         import jax.numpy as jnp
 
         occupancies = np.atleast_2d(np.asarray(occupancies, dtype=np.int32))
+        nsites = self._ensemble.num_sites
+        if occupancies.shape[1] != nsites:
+            raise ValueError(
+                f"occupancies have {occupancies.shape[1]} sites per walker "
+                f"but the ensemble supercell has {nsites}"
+            )
         nwalkers = occupancies.shape[0]
         feats = np.asarray(
             devmc.batched_features(
