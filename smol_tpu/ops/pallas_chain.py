@@ -682,9 +682,13 @@ def _qary_tables(rank_sites, rank_of_site, sites3, strides3, g3,
         return None
     fold_c, fold_s = _qary_fold(q)
 
-    rows_freq = [[] for _ in range(R)]  # scaled neighbor-rank freq vectors
-    rows_amp = [[] for _ in range(R)]  # (folded A_c, folded A_s) f64
-    rows_ms = [[] for _ in range(R)]  # scaled self frequencies
+    # One row per distinct character (freq vector + self frequency) per
+    # rank: characters from different correlation functions over the
+    # same site set coincide, and their amplitudes add exactly (the
+    # Fourier series of a sum is the sum of the series) — merging them
+    # shrinks Lq (and with it the per-step matmul and streamed DMA) by
+    # the function multiplicity, typically 2-4x for ternary subspaces.
+    rows = [{} for _ in range(R)]  # (freq key, ms) -> [freq, A_c, A_s]
     for ri, site in enumerate(rank_sites):
         for l in range(L0):
             if not valid_cluster[site, l]:
@@ -748,13 +752,14 @@ def _qary_tables(rank_sites, rank_of_site, sites3, strides3, g3,
                 freq = np.zeros(rpad, dtype=np.float64)
                 for s_m, f in zip(members[1:], sm[1:]):
                     freq[rank_of_site[s_m]] = float(f)
-                rows_freq[ri].append(freq)
-                rows_amp[ri].append((fold_c * a_c, fold_s * a_s))
-                rows_ms[ri].append(float(sm[0] % q))
-        if len(rows_freq[ri]) > max_rows:
+                key = (freq.tobytes(), float(sm[0] % q))
+                entry = rows[ri].setdefault(key, [freq, 0.0, 0.0])
+                entry[1] += a_c
+                entry[2] += a_s
+        if len(rows[ri]) > max_rows:
             return None
 
-    n_max = max((len(r) for r in rows_freq), default=0)
+    n_max = max((len(r) for r in rows), default=0)
     if n_max == 0:
         return None
     Lq = max(16, -(-n_max // 16) * 16)  # bf16 sublane-tile aligned
@@ -763,10 +768,11 @@ def _qary_tables(rank_sites, rank_of_site, sites3, strides3, g3,
     amp_s = np.zeros((R, Lq), dtype=np.float64)
     msq = np.zeros((R, Lq), dtype=np.float64)
     for ri in range(R):
-        for j, freq in enumerate(rows_freq[ri]):
+        for j, ((_fk, ms), (freq, a_c, a_s)) in enumerate(rows[ri].items()):
             gmq[ri, j] = freq
-            amp_c[ri, j], amp_s[ri, j] = rows_amp[ri][j]
-            msq[ri, j] = rows_ms[ri][j]
+            # fold AFTER merging so the df split sees the exact f64 sum
+            amp_c[ri, j], amp_s[ri, j] = fold_c * a_c, fold_s * a_s
+            msq[ri, j] = ms
     chi, clo = _split_f64(amp_c)
     bhi, blo = _split_f64(amp_s)
     return q, gmq, chi, clo, bhi, blo, msq, Lq
