@@ -35,9 +35,26 @@ import numpy as np
 _RATE_RUNS = 4
 
 
-def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
+def _analysis_reads(sampler):
+    """A realistic post-run analysis: mean/variance/min enthalpy and the
+    acceptance fraction.  The container reduces the (device-resident)
+    sample records where they live, so only per-walker results cross the
+    device->host link (smol_tpu.ops.reductions)."""
+    container = sampler.samples
+    return (
+        container.mean_enthalpy(),
+        container.enthalpy_variance(),
+        container.get_minimum_enthalpy(),
+        container.sampling_efficiency(),
+    )
+
+
+def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3,
+          analysis=False):
     """Median attempts/s over reps through Sampler.run (compile excluded).
 
+    With ``analysis=True`` (dense-thinning rows) each timed rep also
+    includes the standard analysis reads over all recorded samples.
     Prints per-rep diagnostics (rates, std, config) to stderr; the caller
     prints the single JSON result line to stdout.
     """
@@ -47,6 +64,8 @@ def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
     t0 = time.perf_counter()
     sampler.run(nsteps, occu, thin_by=thin_by)  # warmup (includes compile)
     jax.block_until_ready(sampler._state)
+    if analysis:
+        _analysis_reads(sampler)
     warmup = time.perf_counter() - t0
     rates = []
     for _ in range(reps):
@@ -56,6 +75,8 @@ def _rate(sampler, occu, nsteps, nwalkers, thin_by=None, reps=3):
         # sample records stay device-resident (lazy container), so run()
         # no longer blocks on the device; wait for the chain itself
         jax.block_until_ready(sampler._state)
+        if analysis:
+            _analysis_reads(sampler)
         rates.append(nwalkers * nsteps / (time.perf_counter() - t0))
     rates = np.array(rates)
     print(
@@ -504,7 +525,11 @@ def main():
         if chain_ok and args.steps is None and not args.smoke:
             nsteps = 90000  # chain speed needs a longer run to measure
         thin_by = min(15000 if chain_ok else 500, nsteps)
-    rate = _rate(sampler, occu, nsteps, nwalkers, thin_by=thin_by)
+    dense_thinning = bool(args.thin) and thin_by < nsteps
+    rate = _rate(
+        sampler, occu, nsteps, nwalkers, thin_by=thin_by,
+        analysis=dense_thinning,
+    )
     record = {
         "metric": metric,
         "value": rate,
@@ -516,6 +541,13 @@ def main():
         # sampler's dispatch logic (not prose)
         "path": sampler.execution_path(thin_by),
     }
+    if dense_thinning:
+        record["path"] += "+device-resident-records+on-device-analysis"
+        record["includes"] = (
+            "per-window trace recording + mean/var/min enthalpy and "
+            "acceptance reads (reduced on device; exact-f64 features "
+            "remain available lazily via SampleContainer)"
+        )
     if cfg == "canonical":
         # the chain kernel's exogenous pair draw proposes identity moves
         # (same species at both sites); the reference Swap usher proposes

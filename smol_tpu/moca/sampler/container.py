@@ -85,11 +85,21 @@ class SampleContainer(MSONable):
         self._pending_samples = []
         self._pending_nsamples = 0
         self._pending_bytes = 0
+        # trace entries computed lazily from stored occupancies on first
+        # read (e.g. exact-f64 feature vectors): name -> fn(occu [k,W,N])
+        # -> [k,W,...].  Keeps the per-thin-point recompute off the
+        # sampling path entirely; see set_derived_value.
+        self._derived = {}
+        self._derived_filled = {}
         self.total_mc_steps_per_sample = 1
         self._backend = None
 
     # keep at most this many buffered device bytes before forcing a copy
-    _PENDING_BYTES_MAX = 256 << 20
+    # (bounds record HBM, not correctness; the device->host link may be
+    # orders of magnitude slower than HBM, so the bound is generous)
+    _PENDING_BYTES_MAX = int(
+        os.environ.get("SMOL_TPU_PENDING_BYTES_MAX", 2 << 30)
+    )
 
     # ---------------- basic properties ----------------
 
@@ -150,6 +160,35 @@ class SampleContainer(MSONable):
         """Merge the samples and walkers axes."""
         return values.reshape(-1, *values.shape[2:])
 
+    def set_derived_value(self, name, fn):
+        """Declare a traced quantity computed lazily from occupancies.
+
+        ``fn(occupancies)`` maps a host ``[k, nwalkers, nsites]`` int32
+        array to ``[k, nwalkers, ...]`` values.  The entry must exist in
+        the trace spec; its rows are filled on first read (or before any
+        serialization) instead of on the sampling path.  The Sampler uses
+        this for exact-f64 feature vectors: recomputing them at every
+        thin point would dominate the run, while the accumulated
+        double-float enthalpy already meets the accuracy contract.
+        """
+        if name not in self._trace.names:
+            raise ValueError(f"{name} is not a traced quantity.")
+        self._derived[name] = fn
+        self._derived_filled.setdefault(name, 0)
+
+    def _materialize_derived(self):
+        """Fill lazily-computed trace entries up to the current sample."""
+        if not self._derived:
+            return
+        self._materialize_samples()
+        for name, fn in self._derived.items():
+            filled = self._derived_filled.get(name, 0)
+            if filled >= self._nsamples:
+                continue
+            occus = self._trace.occupancy[filled : self._nsamples]
+            getattr(self._trace, name)[filled : self._nsamples] = fn(occus)
+            self._derived_filled[name] = self._nsamples
+
     def get_trace_value(self, name, discard=0, thin_by=1, flat=True):
         """Sampled values of one traced quantity.
 
@@ -162,15 +201,99 @@ class SampleContainer(MSONable):
             value = getattr(self._aux_trace, name)[: self._naux]
         else:
             self._materialize_samples()
+            if name in self._derived:
+                self._materialize_derived()
             value = getattr(self._trace, name)[: self._nsamples]
         value = value[discard + thin_by - 1 :: thin_by]
         return self._flatten(value) if flat else value
 
     def mean_trace_value(self, name, discard=0, thin_by=1, flat=True):
+        moments = self._device_moments(name, discard, thin_by, flat)
+        if moments is not None:
+            return moments[0]
         return self.get_trace_value(name, discard, thin_by, flat).mean(axis=0)
 
     def trace_value_variance(self, name, discard=0, thin_by=1, flat=True):
+        moments = self._device_moments(name, discard, thin_by, flat, var=True)
+        if moments is not None:
+            return moments[1]
         return self.get_trace_value(name, discard, thin_by, flat).var(axis=0)
+
+    # ---------------- device-side reductions ----------------
+    #
+    # Sample batches buffered from chain launches stay device-resident
+    # (see save_sampled_traces); on a slow device->host link, pulling the
+    # raw records just to take a mean would dominate an analysis.  These
+    # helpers compute the reductions where the data lives and move only
+    # the per-walker (or pooled) results.
+
+    def _sample_segments(self, name):
+        """(values, is_device) segments covering all samples, in order."""
+        segments = []
+        if self._nsamples:
+            if name in self._derived and self._derived_filled.get(name, 0) < self._nsamples:
+                return None
+            segments.append((getattr(self._trace, name)[: self._nsamples], False))
+        for batch, _ in self._pending_samples:
+            if name not in batch:
+                return None
+            segments.append((batch[name], True))
+        return segments
+
+    @staticmethod
+    def _selection_mask(k, offset, sel_start, thin_by):
+        idx = np.arange(k) + offset
+        return (idx >= sel_start) & ((idx - sel_start) % thin_by == 0)
+
+    def _device_moments(self, name, discard=0, thin_by=1, flat=True, var=False):
+        """(mean, variance) over selected samples without bulk host copies.
+
+        Returns None when the device path does not apply (no pending
+        device batches, aux quantity, or a derived quantity not yet
+        filled) — callers then fall back to the materializing path.
+        Matches ``values.mean(axis=0)`` / ``.var(axis=0)`` of the
+        flattened (or per-walker) getter output.
+        """
+        if not self._pending_samples or name in self._aux_trace.names:
+            return None
+        segments = self._sample_segments(name)
+        if segments is None:
+            return None
+        from smol_tpu.ops.reductions import masked_mean_segments, masked_sqdev_segments
+
+        sel_start = discard + thin_by - 1
+        masks, offset = [], 0
+        for values, _ in segments:
+            masks.append(self._selection_mask(len(values), offset, sel_start, thin_by))
+            offset += len(values)
+        count = sum(int(m.sum()) for m in masks)
+        if count == 0:
+            return None
+        mean = masked_mean_segments(segments, masks, count, pool_walkers=flat)
+        if not var:
+            return (mean, None)
+        variance = masked_sqdev_segments(
+            segments, masks, count, mean, pool_walkers=flat
+        )
+        return (mean, variance)
+
+    def _device_min(self, name, discard=0, thin_by=1, flat=True):
+        """Minimum over selected samples without bulk host copies, or None."""
+        if not self._pending_samples or name in self._aux_trace.names:
+            return None
+        segments = self._sample_segments(name)
+        if segments is None:
+            return None
+        from smol_tpu.ops.reductions import masked_min_segments
+
+        sel_start = discard + thin_by - 1
+        masks, offset = [], 0
+        for values, _ in segments:
+            masks.append(self._selection_mask(len(values), offset, sel_start, thin_by))
+            offset += len(values)
+        if not any(mask.any() for mask in masks):
+            return None
+        return masked_min_segments(segments, masks, pool_walkers=flat)
 
     def get_occupancies(self, discard=0, thin_by=1, flat=True):
         return self.get_trace_value("occupancy", discard, thin_by, flat)
@@ -216,33 +339,39 @@ class SampleContainer(MSONable):
 
     def sampling_efficiency(self, discard=0, flat=True):
         """Mean acceptance fraction of the recorded windows."""
-        if "accept_rate" in self._trace.names:
-            eff = self.get_trace_value("accept_rate", discard, flat=flat)
-        else:
-            eff = self.get_trace_value("accepted", discard, flat=flat)
-        return eff.mean(axis=0)
+        name = (
+            "accept_rate" if "accept_rate" in self._trace.names else "accepted"
+        )
+        return self.mean_trace_value(name, discard, flat=flat)
 
     # ---------------- statistics ----------------
 
     def mean_enthalpy(self, discard=0, thin_by=1, flat=True):
-        return self.get_enthalpies(discard, thin_by, flat).mean(axis=0)
+        return self.mean_trace_value("enthalpy", discard, thin_by, flat)
 
     def enthalpy_variance(self, discard=0, thin_by=1, flat=True):
-        return self.get_enthalpies(discard, thin_by, flat).var(axis=0)
+        return self.trace_value_variance("enthalpy", discard, thin_by, flat)
 
     def mean_energy(self, discard=0, thin_by=1, flat=True):
+        if len(self.natural_parameters) == self._num_energy_coefs:
+            return self.mean_enthalpy(discard, thin_by, flat)
         return self.get_energies(discard, thin_by, flat).mean(axis=0)
 
     def energy_variance(self, discard=0, thin_by=1, flat=True):
+        if len(self.natural_parameters) == self._num_energy_coefs:
+            return self.enthalpy_variance(discard, thin_by, flat)
         return self.get_energies(discard, thin_by, flat).var(axis=0)
 
     def mean_feature_vector(self, discard=0, thin_by=1, flat=True):
-        return self.get_feature_vectors(discard, thin_by, flat).mean(axis=0)
+        return self.mean_trace_value("features", discard, thin_by, flat)
 
     def feature_vector_variance(self, discard=0, thin_by=1, flat=True):
-        return self.get_feature_vectors(discard, thin_by, flat).var(axis=0)
+        return self.trace_value_variance("features", discard, thin_by, flat)
 
     def get_minimum_enthalpy(self, discard=0, thin_by=1, flat=True):
+        low = self._device_min("enthalpy", discard, thin_by, flat)
+        if low is not None:
+            return low
         return self.get_enthalpies(discard, thin_by, flat).min(axis=0)
 
     def get_minimum_energy(self, discard=0, thin_by=1, flat=True):
@@ -448,11 +577,13 @@ class SampleContainer(MSONable):
         self._pending_samples = []
         self._pending_nsamples = 0
         self._pending_bytes = 0
+        self._derived_filled = {name: 0 for name in self._derived}
 
     def vacuum(self):
         """Trim over-allocated space."""
         self._materialize_aux()
         self._materialize_samples()
+        self._materialize_derived()
         for name, value in self._trace.items():
             setattr(self._trace, name, np.ascontiguousarray(value[: self._nsamples]))
         for name, value in self._aux_trace.items():
@@ -524,6 +655,7 @@ class SampleContainer(MSONable):
         """Write buffered samples to the backend and clear memory."""
         self._materialize_aux()
         self._materialize_samples()
+        self._materialize_derived()
         start = int(backend.attrs["nsamples"])
         for name, value in self._trace.items():
             backend["trace"][name][start : start + self._nsamples] = value[

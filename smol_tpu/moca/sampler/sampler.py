@@ -52,6 +52,8 @@ class Sampler:
         self._step_fn = None
         self._record_fns = {}
         self._chain_fns = {}
+        if "features" in container._trace.names:
+            self._register_derived_features()
 
     @classmethod
     def from_ensemble(
@@ -170,13 +172,8 @@ class Sampler:
     # ---------------- trace recording ----------------
 
     def _make_record_fn(self, thin_by: int):
-        import jax
-        import jax.numpy as jnp
-
         kernel = self._kernel
         track_features = kernel.track_features
-        full_features = None if track_features else kernel.full_features_fn()
-        natural_params = jnp.asarray(kernel.natural_params)
         is_wl = type(kernel).__name__ == "WangLandau"
 
         def record(state):
@@ -189,11 +186,11 @@ class Sampler:
             }
             if track_features:
                 rec["features"] = state["features"]
-            else:
-                # recompute exactly from occupancies: no accumulation drift
-                feats = jax.vmap(full_features)(occupancy)
-                rec["features"] = feats
-                rec["enthalpy"] = feats @ natural_params
+            # else: the container computes exact-f64 features lazily from
+            # the recorded occupancies (see _register_derived_features);
+            # recomputing them at every thin point would dominate the
+            # run, and the recorded enthalpy is the kernel's double-float
+            # accumulation (~2^-45 relative), inside the 1e-8 contract.
             if "beta" in state:
                 rec["temperature"] = 1.0 / (kB * state["beta"])
             if is_wl:
@@ -201,6 +198,36 @@ class Sampler:
             return rec
 
         return record
+
+    def _register_derived_features(self):
+        """Serve the ``features`` trace lazily for non-tracking kernels.
+
+        The derived fn recomputes exact-f64 feature vectors from stored
+        occupancies in bounded host->device chunks, only when a reader
+        (getter, HDF5 flush, or MSON serialization) actually needs them.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._kernel.track_features:
+            return
+        full_features = jax.jit(jax.vmap(self._kernel.full_features_fn()))
+
+        def derived(occupancies):
+            k, nwalkers, nsites = occupancies.shape
+            flat = occupancies.reshape(-1, nsites)
+            chunk = max(1, (64 << 20) // max(nsites * 4, 1))
+            parts = []
+            for start in range(0, len(flat), chunk):
+                parts.append(
+                    np.asarray(
+                        full_features(jnp.asarray(flat[start : start + chunk]))
+                    )
+                )
+            feats = np.concatenate(parts) if parts else np.empty((0, 0))
+            return feats.reshape(k, nwalkers, -1)
+
+        self._container.set_derived_value("features", derived)
 
     def _aux_record(self, state):
         """One aux record from the current device state.
