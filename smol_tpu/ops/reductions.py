@@ -76,16 +76,16 @@ def masked_mean_segments(segments, masks, rows, pool_walkers=True):
     """
     count = _pooled_count(segments, masks, rows, pool_walkers)
     total = 0.0
+    # device partials accumulate as device arrays: one host sync at the
+    # end instead of one per segment (each sync pays a link round trip)
     for (values, on_device), mask in zip(segments, masks):
         if not mask.any():
             continue
         if on_device:
-            total = total + np.asarray(
-                _masked_sum(values, jnp.asarray(mask), pool_walkers)
-            )
+            total = total + _masked_sum(values, jnp.asarray(mask), pool_walkers)
         else:
             total = total + _np_masked_sum(values, mask, pool_walkers)
-    return total / count
+    return np.asarray(total) / count
 
 
 @partial(jax.jit, static_argnames=("pool",))
@@ -97,18 +97,18 @@ def _masked_min(values, mask, pool):
 
 def masked_min_segments(segments, masks, pool_walkers=True):
     """Minimum over mask-selected rows of ``segments`` (see mean)."""
-    partials = []
+    low = None
     for (values, on_device), mask in zip(segments, masks):
         if not mask.any():
             continue
         if on_device:
-            partials.append(
-                np.asarray(_masked_min(values, jnp.asarray(mask), pool_walkers))
-            )
+            part = _masked_min(values, jnp.asarray(mask), pool_walkers)
         else:
-            low = values[mask].astype(np.float64).min(axis=0)
-            partials.append(low.min(axis=0) if pool_walkers else low)
-    return np.minimum.reduce(partials)
+            part = values[mask].astype(np.float64).min(axis=0)
+            if pool_walkers:
+                part = part.min(axis=0)
+        low = part if low is None else jnp.minimum(low, part)
+    return np.asarray(low)
 
 
 def masked_sqdev_segments(segments, masks, rows, mean, pool_walkers=True):
@@ -120,11 +120,11 @@ def masked_sqdev_segments(segments, masks, rows, mean, pool_walkers=True):
         if not mask.any():
             continue
         if on_device:
-            total = total + np.asarray(
-                _masked_sqdev_sum(values, jnp.asarray(mask), mean, pool_walkers)
+            total = total + _masked_sqdev_sum(
+                values, jnp.asarray(mask), mean, pool_walkers
             )
         else:
             total = total + _np_masked_sqdev_sum(
                 values, mask, np.asarray(mean), pool_walkers
             )
-    return total / count
+    return np.asarray(total) / count
