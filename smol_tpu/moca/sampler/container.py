@@ -245,21 +245,27 @@ class SampleContainer(MSONable):
         idx = np.arange(k) + offset
         return (idx >= sel_start) & ((idx - sel_start) % thin_by == 0)
 
-    def _device_moments(self, name, discard=0, thin_by=1, flat=True, var=False):
-        """(mean, variance) over selected samples without bulk host copies.
+    def _device_stats(self, name, discard=0, thin_by=1, flat=True):
+        """(mean, variance, min) over selected samples without bulk copies.
 
         Returns None when the device path does not apply (no pending
         device batches, aux quantity, or a derived quantity not yet
         filled) — callers then fall back to the materializing path.
-        Matches ``values.mean(axis=0)`` / ``.var(axis=0)`` of the
-        flattened (or per-walker) getter output.
+        Matches ``.mean(axis=0)`` / ``.var(axis=0)`` / ``.min(axis=0)``
+        of the flattened (or per-walker) getter output.  Results are
+        cached until new samples arrive, so the three statistics of one
+        quantity share a single two-pass device reduction.
         """
         if not self._pending_samples or name in self._aux_trace.names:
             return None
+        key = (name, discard, thin_by, flat)
+        cached = getattr(self, "_stats_cache", {}).get(key)
+        if cached is not None and cached[0] == self.num_samples:
+            return cached[1]
         segments = self._sample_segments(name)
         if segments is None:
             return None
-        from smol_tpu.ops.reductions import masked_mean_segments, masked_sqdev_segments
+        from smol_tpu.ops.reductions import masked_stats_segments
 
         sel_start = discard + thin_by - 1
         masks, offset = [], 0
@@ -269,31 +275,19 @@ class SampleContainer(MSONable):
         count = sum(int(m.sum()) for m in masks)
         if count == 0:
             return None
-        mean = masked_mean_segments(segments, masks, count, pool_walkers=flat)
-        if not var:
-            return (mean, None)
-        variance = masked_sqdev_segments(
-            segments, masks, count, mean, pool_walkers=flat
-        )
-        return (mean, variance)
+        stats = masked_stats_segments(segments, masks, count, pool_walkers=flat)
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache = {}
+        self._stats_cache[key] = (self.num_samples, stats)
+        return stats
+
+    def _device_moments(self, name, discard=0, thin_by=1, flat=True, var=False):
+        stats = self._device_stats(name, discard, thin_by, flat)
+        return None if stats is None else (stats[0], stats[1])
 
     def _device_min(self, name, discard=0, thin_by=1, flat=True):
-        """Minimum over selected samples without bulk host copies, or None."""
-        if not self._pending_samples or name in self._aux_trace.names:
-            return None
-        segments = self._sample_segments(name)
-        if segments is None:
-            return None
-        from smol_tpu.ops.reductions import masked_min_segments
-
-        sel_start = discard + thin_by - 1
-        masks, offset = [], 0
-        for values, _ in segments:
-            masks.append(self._selection_mask(len(values), offset, sel_start, thin_by))
-            offset += len(values)
-        if not any(mask.any() for mask in masks):
-            return None
-        return masked_min_segments(segments, masks, pool_walkers=flat)
+        stats = self._device_stats(name, discard, thin_by, flat)
+        return None if stats is None else stats[2]
 
     def get_occupancies(self, discard=0, thin_by=1, flat=True):
         return self.get_trace_value("occupancy", discard, thin_by, flat)
@@ -578,6 +572,7 @@ class SampleContainer(MSONable):
         self._pending_nsamples = 0
         self._pending_bytes = 0
         self._derived_filled = {name: 0 for name in self._derived}
+        self._stats_cache = {}
 
     def vacuum(self):
         """Trim over-allocated space."""

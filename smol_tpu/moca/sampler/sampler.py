@@ -436,13 +436,15 @@ class Sampler:
 
         nsamples = nsteps // thin_by
         if samples_per_launch is None:
-            # bound per-launch trace memory to ~64 MB
+            # bound per-launch trace memory to ~256 MB (records stay in
+            # HBM until read; fewer, larger launches also mean fewer
+            # buffered batches for the device-side statistics to reduce)
             bytes_per_sample = sum(
                 int(np.prod(v.shape[1:])) * v.dtype.itemsize
                 for _, v in self._container._trace.items()
             )
             samples_per_launch = max(
-                1, min(nsamples, (64 << 20) // max(bytes_per_sample, 1))
+                1, min(nsamples, (256 << 20) // max(bytes_per_sample, 1))
             )
         has_aux = bool(self._container.aux_traced_values)
         if has_aux and aux_every is not None:
@@ -505,12 +507,12 @@ class Sampler:
                         self._state, subkey, step_fn, record_fn, int(launch),
                         int(thin_by),
                     )
-                # device arrays pass through; the container keeps them
-                # device-resident until something reads them, so the
-                # sampling loop never blocks on the device->host link
-                self._container.save_sampled_traces(
-                    Trace(**dict(traces.items())), thinned_by=thin_by
-                )
+                # device arrays pass through AS A PLAIN DICT; the container
+                # keeps them device-resident until something reads them, so
+                # the sampling loop never blocks on the device->host link.
+                # (Wrapping in Trace here would np.asarray every array —
+                # a synchronous device->host copy per launch.)
+                self._container.save_sampled_traces(traces, thinned_by=thin_by)
                 done += launch
                 since_flush += launch
                 since_aux += launch

@@ -24,6 +24,7 @@ __all__ = [
     "masked_mean_segments",
     "masked_min_segments",
     "masked_sqdev_segments",
+    "masked_stats_segments",
 ]
 
 
@@ -109,6 +110,59 @@ def masked_min_segments(segments, masks, pool_walkers=True):
                 part = part.min(axis=0)
         low = part if low is None else jnp.minimum(low, part)
     return np.asarray(low)
+
+
+@partial(jax.jit, static_argnames=("pool",))
+def _sum_min_pass(values, mask, pool):
+    """One dispatch per segment: (masked sum, masked min)."""
+    shaped = mask.reshape((-1,) + (1,) * (values.ndim - 1))
+    x = values.astype(jnp.float64)
+    total = jnp.where(shaped, x, 0.0).sum(axis=0)
+    low = jnp.where(shaped, x, jnp.inf).min(axis=0)
+    if pool:
+        total = total.sum(axis=0)
+        low = low.min(axis=0)
+    return total, low
+
+
+def masked_stats_segments(segments, masks, rows, pool_walkers=True):
+    """(mean, variance, min) over selected rows in 2 dispatches/segment.
+
+    Device partials (including the mean fed to the second pass) stay on
+    device; the three results sync together at the end — the whole
+    analysis costs a handful of link round trips regardless of how many
+    buffered batches exist.
+    """
+    count = _pooled_count(segments, masks, rows, pool_walkers)
+    total, low = 0.0, None
+    for (values, on_device), mask in zip(segments, masks):
+        if not mask.any():
+            continue
+        if on_device:
+            part_sum, part_min = _sum_min_pass(
+                values, jnp.asarray(mask), pool_walkers
+            )
+        else:
+            part_sum = _np_masked_sum(values, mask, pool_walkers)
+            part_min = values[mask].astype(np.float64).min(axis=0)
+            if pool_walkers:
+                part_min = part_min.min(axis=0)
+        total = total + part_sum
+        low = part_min if low is None else jnp.minimum(low, part_min)
+    mean = total / count  # device array when any segment is on device
+    sqdev = 0.0
+    for (values, on_device), mask in zip(segments, masks):
+        if not mask.any():
+            continue
+        if on_device:
+            sqdev = sqdev + _masked_sqdev_sum(
+                values, jnp.asarray(mask), mean, pool_walkers
+            )
+        else:
+            sqdev = sqdev + _np_masked_sqdev_sum(
+                values, mask, np.asarray(mean), pool_walkers
+            )
+    return np.asarray(mean), np.asarray(sqdev) / count, np.asarray(low)
 
 
 def masked_sqdev_segments(segments, masks, rows, mean, pool_walkers=True):
